@@ -1,0 +1,234 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visualdet3d_tpu.ops import (
+    boxes_iou3d,
+    concat_volume,
+    correlation_volume_pallas,
+    correlation_volume_xla,
+    grid_sample,
+    modulated_deform_conv,
+    nms,
+    rotated_iou,
+    rotated_nms,
+)
+
+
+# ---------------------------------------------------------------- NMS
+
+def _nms_numpy(boxes, scores, thr):
+    """Plain greedy NMS reference (the torchvision.ops.nms contract)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            ix1 = max(boxes[i, 0], boxes[j, 0]); iy1 = max(boxes[i, 1], boxes[j, 1])
+            ix2 = min(boxes[i, 2], boxes[j, 2]); iy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+            ua = ((boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1]) +
+                  (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1]) - inter)
+            if inter / max(ua, 1e-8) > thr:
+                suppressed[j] = True
+    return keep
+
+
+def test_nms_matches_greedy_reference():
+    rng = np.random.default_rng(0)
+    n = 80
+    centers = rng.uniform(0, 100, size=(n, 2))
+    wh = rng.uniform(5, 30, size=(n, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, size=(n,)).astype(np.float32)
+
+    expected = _nms_numpy(boxes, scores, 0.5)
+    keep_idx, keep_valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                               max_outputs=n, pre_top_k=n)
+    got = [int(i) for i, v in zip(keep_idx, keep_valid) if v]
+    assert got == expected
+
+
+def test_nms_respects_valid_mask_and_padding():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+    mask = jnp.asarray([True, True, False])
+    keep_idx, keep_valid = nms(boxes, scores, 0.5, max_outputs=3, pre_top_k=3,
+                               valid_mask=mask)
+    got = [int(i) for i, v in zip(keep_idx, keep_valid) if v]
+    assert got == [0]
+    assert int(keep_idx[-1]) == -1
+
+
+# ---------------------------------------------------------------- grid_sample
+
+def test_grid_sample_identity():
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((2, 8, 12, 3)).astype(np.float32)
+    ys, xs = np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 12), indexing='ij')
+    grid = np.stack([xs, ys], axis=-1)[None].repeat(2, axis=0).astype(np.float32)
+    out = grid_sample(jnp.asarray(img), jnp.asarray(grid), align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+
+
+def test_grid_sample_interpolates_midpoint():
+    img = np.zeros((1, 2, 2, 1), np.float32)
+    img[0, :, :, 0] = [[0, 1], [2, 3]]
+    grid = np.zeros((1, 1, 1, 2), np.float32)  # center
+    out = grid_sample(jnp.asarray(img), jnp.asarray(grid), align_corners=True)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0], 1.5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- cost volume
+
+def _corr_numpy(left, right, d_max):
+    b, h, w, c = left.shape
+    out = np.zeros((b, h, w, d_max), np.float32)
+    for d in range(d_max):
+        for wi in range(d, w):
+            out[:, :, wi, d] = (left[:, :, wi] * right[:, :, wi - d]).mean(-1)
+    return out
+
+
+def test_correlation_volume_xla_matches_naive():
+    rng = np.random.default_rng(2)
+    left = rng.standard_normal((2, 4, 16, 8)).astype(np.float32)
+    right = rng.standard_normal((2, 4, 16, 8)).astype(np.float32)
+    out = correlation_volume_xla(jnp.asarray(left), jnp.asarray(right), 6)
+    np.testing.assert_allclose(np.asarray(out), _corr_numpy(left, right, 6), atol=1e-5)
+
+
+def test_correlation_volume_pallas_matches_xla():
+    rng = np.random.default_rng(3)
+    left = rng.standard_normal((2, 4, 32, 16)).astype(np.float32)
+    right = rng.standard_normal((2, 4, 32, 16)).astype(np.float32)
+    ref = correlation_volume_xla(jnp.asarray(left), jnp.asarray(right), 8)
+    interpret = jax.default_backend() != 'tpu'
+    out = correlation_volume_pallas(jnp.asarray(left), jnp.asarray(right), 8,
+                                    interpret=interpret)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_concat_volume_semantics():
+    rng = np.random.default_rng(4)
+    left = rng.standard_normal((1, 2, 8, 3)).astype(np.float32)
+    right = rng.standard_normal((1, 2, 8, 3)).astype(np.float32)
+    vol = np.asarray(concat_volume(jnp.asarray(left), jnp.asarray(right), 3))
+    assert vol.shape == (1, 3, 2, 8, 6)
+    # d=0: plain concat
+    np.testing.assert_allclose(vol[0, 0, :, :, :3], left[0], atol=1e-6)
+    np.testing.assert_allclose(vol[0, 0, :, :, 3:], right[0], atol=1e-6)
+    # d=2: left masked below w=2, right shifted
+    assert np.all(vol[0, 2, :, :2] == 0)
+    np.testing.assert_allclose(vol[0, 2, :, 2:, :3], left[0, :, 2:], atol=1e-6)
+    np.testing.assert_allclose(vol[0, 2, :, 2:, 3:], right[0, :, :-2], atol=1e-6)
+
+
+# ---------------------------------------------------------------- deform conv
+
+def test_modulated_deform_conv_zero_offset_equals_conv():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 9, 11, 4)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 4, 6)).astype(np.float32)
+    offset = np.zeros((2, 9, 11, 18), np.float32)
+    mask = np.ones((2, 9, 11, 9), np.float32)
+    out = modulated_deform_conv(jnp.asarray(x), jnp.asarray(offset),
+                                jnp.asarray(mask), jnp.asarray(w), padding=1)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), window_strides=(1, 1), padding='SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_modulated_deform_conv_integer_shift():
+    """Offset of exactly (0, +1) on every tap shifts the sampling grid right."""
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 6, 8, 2)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 2, 3)).astype(np.float32)
+    offset = np.zeros((1, 6, 8, 18), np.float32)
+    offset[..., 1::2] = 1.0  # dx = +1
+    mask = np.ones((1, 6, 8, 9), np.float32)
+    out = modulated_deform_conv(jnp.asarray(x), jnp.asarray(offset),
+                                jnp.asarray(mask), jnp.asarray(w), padding=1)
+    # equivalent to convolving the left-shifted image
+    x_shift = np.concatenate([x[:, :, 1:], np.zeros_like(x[:, :, :1])], axis=2)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x_shift), jnp.asarray(w), window_strides=(1, 1), padding='SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    # interior columns must match (border columns differ by zero-padding)
+    np.testing.assert_allclose(np.asarray(out)[:, 1:-1, 1:-2],
+                               np.asarray(ref)[:, 1:-1, 1:-2], atol=1e-4)
+
+
+def test_modulated_deform_conv_is_differentiable():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 5, 5, 2)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 2, 2)).astype(np.float32))
+    offset = jnp.asarray(0.3 * rng.standard_normal((1, 5, 5, 18)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, (1, 5, 5, 9)).astype(np.float32))
+
+    def loss(params):
+        x_, off_, m_, w_ = params
+        return jnp.sum(modulated_deform_conv(x_, off_, m_, w_) ** 2)
+
+    grads = jax.grad(loss)((x, offset, mask, w))
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).sum()) > 0
+
+
+# ---------------------------------------------------------------- rotated IoU
+
+def test_rotated_iou_axis_aligned_matches_2d():
+    a = jnp.asarray([[5.0, 5.0, 10.0, 10.0, 0.0]])
+    b = jnp.asarray([[10.0, 5.0, 10.0, 10.0, 0.0]])
+    iou = rotated_iou(a, b)
+    np.testing.assert_allclose(np.asarray(iou)[0, 0], 50.0 / 150.0, atol=1e-5)
+
+
+def test_rotated_iou_45_degrees():
+    a = jnp.asarray([[0.0, 0.0, 1.0, 1.0, 0.0]])
+    b = jnp.asarray([[0.0, 0.0, 1.0, 1.0, np.pi / 4]])
+    inter = 2 * (np.sqrt(2) - 1)
+    expect = inter / (2 - inter)
+    np.testing.assert_allclose(np.asarray(rotated_iou(a, b))[0, 0], expect, atol=1e-4)
+
+
+def test_rotated_iou_rotation_invariant_self():
+    boxes = jnp.asarray([[3.0, -2.0, 4.0, 2.0, 0.7]])
+    np.testing.assert_allclose(np.asarray(rotated_iou(boxes, boxes))[0, 0], 1.0, atol=1e-4)
+
+
+def test_boxes_iou3d_identical_and_disjoint():
+    a = jnp.asarray([[0.0, 1.5, 10.0, 1.6, 1.5, 3.9, 0.3]])
+    b = jnp.asarray([[0.0, 1.5, 10.0, 1.6, 1.5, 3.9, 0.3],
+                     [50.0, 1.5, 10.0, 1.6, 1.5, 3.9, 0.3]])
+    iou = np.asarray(boxes_iou3d(a, b))
+    np.testing.assert_allclose(iou[0, 0], 1.0, atol=1e-4)
+    np.testing.assert_allclose(iou[0, 1], 0.0, atol=1e-6)
+
+
+def test_boxes_iou3d_height_overlap():
+    # same BEV rect, half-overlapping height spans
+    a = jnp.asarray([[0.0, 2.0, 10.0, 2.0, 2.0, 4.0, 0.0]])  # y in [0, 2]
+    b = jnp.asarray([[0.0, 3.0, 10.0, 2.0, 2.0, 4.0, 0.0]])  # y in [1, 3]
+    iou = np.asarray(boxes_iou3d(a, b))[0, 0]
+    np.testing.assert_allclose(iou, 1.0 / 3.0, atol=1e-4)
+
+
+def test_rotated_nms_suppresses():
+    boxes = jnp.asarray([
+        [0.0, 0.0, 4.0, 2.0, 0.0],
+        [0.1, 0.0, 4.0, 2.0, 0.05],   # near-duplicate of box 0
+        [20.0, 0.0, 4.0, 2.0, 1.0],
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep, valid = rotated_nms(boxes, scores, 0.3, max_outputs=3)
+    got = [int(i) for i, v in zip(keep, valid) if v]
+    assert got == [0, 2]

@@ -1,0 +1,118 @@
+"""Deformable convolution v1/v2 (modulated), TPU-native.
+
+Replaces the reference's 1.7k-line CUDA extension
+(visualDet3D/networks/lib/ops/dcn/src/deform_conv_cuda_kernel.cu,
+deform_conv_ext.cpp:149-161) with a gather-based formulation that XLA maps
+onto TPU: for each of the K kernel taps, bilinearly sample the input at the
+learned offset positions (4 gathers + lerp), scale by the modulation mask,
+and accumulate through a [C_in, C_out] matmul on the MXU. The whole op is
+built from differentiable jnp primitives, so the backward pass (the 867-line
+CUDA kernel in the reference) comes from autodiff for free and fuses under
+jit.
+
+Layouts: NHWC activations, HWIO weights (TPU-native conv layouts).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_sample_zero(image: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
+    """Sample image [H, W, C] at float coords (py, px) [...]-shaped, zero pad.
+
+    Matches the CUDA `dmcn_im2col_bilinear` boundary semantics: values outside
+    [-1, H) x [-1, W) contribute zero, corners partially outside contribute
+    their in-bounds taps.
+    """
+    h, w, c = image.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = (py - y0)[..., None]
+    wx = (px - x0)[..., None]
+
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    flat = image.reshape(h * w, c)
+
+    def tap(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = flat[idx.reshape(-1)].reshape(idx.shape + (c,))
+        return jnp.where(inb[..., None], vals, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def modulated_deform_conv(x: jnp.ndarray,
+                          offset: jnp.ndarray,
+                          mask: jnp.ndarray,
+                          weight: jnp.ndarray,
+                          bias: jnp.ndarray | None = None,
+                          stride: int = 1,
+                          padding: int = 1,
+                          dilation: int = 1) -> jnp.ndarray:
+    """Modulated deformable conv (DCNv2) forward.
+
+    Args:
+      x: [B, H, W, C_in].
+      offset: [B, Ho, Wo, 2K] with (dy, dx) per tap k at channels (2k, 2k+1).
+      mask: [B, Ho, Wo, K] modulation scalars (post-sigmoid).
+      weight: [kh, kw, C_in, C_out].
+      bias: optional [C_out].
+      stride/padding/dilation: ints (square).
+    Returns:
+      [B, Ho, Wo, C_out].
+
+    reference semantics: visualDet3D/networks/lib/ops/dcn/deform_conv.py
+    (ModulatedDeformConvFunction) + modulated_deformable_im2col CUDA kernel.
+    """
+    b, h, w, c_in = x.shape
+    kh, kw, _, c_out = weight.shape
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    assert offset.shape[:3] == (b, ho, wo), (offset.shape, (b, ho, wo))
+
+    base_y = jnp.arange(ho, dtype=x.dtype) * stride - padding  # [Ho]
+    base_x = jnp.arange(wo, dtype=x.dtype) * stride - padding  # [Wo]
+
+    out = jnp.zeros((b, ho, wo, c_out), dtype=x.dtype)
+    for ky in range(kh):
+        for kx in range(kw):
+            k = ky * kw + kx
+            py = base_y[None, :, None] + ky * dilation + offset[..., 2 * k]
+            px = base_x[None, None, :] + kx * dilation + offset[..., 2 * k + 1]
+            sampled = jax.vmap(_bilinear_sample_zero)(x, py, px)  # [B, Ho, Wo, C_in]
+            sampled = sampled * mask[..., k:k + 1]
+            out = out + jnp.einsum('bhwc,co->bhwo', sampled, weight[ky, kx],
+                                   preferred_element_type=out.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def deform_conv(x: jnp.ndarray,
+                offset: jnp.ndarray,
+                weight: jnp.ndarray,
+                bias: jnp.ndarray | None = None,
+                stride: int = 1,
+                padding: int = 1,
+                dilation: int = 1) -> jnp.ndarray:
+    """Plain (v1, non-modulated) deformable conv: mask == 1 everywhere.
+
+    reference: DeformConvPack (dcn/deform_conv.py:53-200).
+    """
+    b, ho, wo = offset.shape[0], offset.shape[1], offset.shape[2]
+    k = offset.shape[-1] // 2
+    ones = jnp.ones((b, ho, wo, k), dtype=x.dtype)
+    return modulated_deform_conv(x, offset, ones, weight, bias, stride, padding, dilation)
