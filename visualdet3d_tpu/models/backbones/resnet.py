@@ -1,0 +1,154 @@
+"""ResNet backbone family (flax.linen, NHWC), torchvision-compatible topology.
+
+Mirrors the reference's configurable ResNet
+(visualDet3D/networks/backbones/resnet.py:95-270): depth in {18, 34, 50, 101,
+152}, ``num_stages``/``out_indices`` to truncate and tap intermediate stages,
+``dilations`` per stage, ``frozen_stages`` (implemented TPU-natively as
+stop_gradient on the stage boundary — a prefix freeze, exactly the reference
+semantics of not updating those parameters), and ``norm_eval`` (BatchNorm in
+inference mode during training, reference resnet.py:154-182).
+
+Weights can be converted from torchvision checkpoints with
+tools/convert_torchvision.py (URLs in reference resnet.py:14-20 are not
+fetchable here: zero egress).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visualdet3d_tpu.registry import BACKBONE_DICT
+
+RESNET_SPECS = {
+    18: ('basic', (2, 2, 2, 2)),
+    34: ('basic', (3, 4, 6, 3)),
+    50: ('bottleneck', (3, 4, 6, 3)),
+    101: ('bottleneck', (3, 4, 23, 3)),
+    152: ('bottleneck', (3, 8, 36, 3)),
+}
+
+
+def _bn(train: bool, norm_eval: bool):
+    use_running = (not train) or norm_eval
+    return nn.BatchNorm(use_running_average=use_running, momentum=0.9, epsilon=1e-5)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity/projection shortcut (reference resnet.py:23-53)."""
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    norm_eval: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      padding='SAME', use_bias=False)(x)
+        out = _bn(train, self.norm_eval)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False)(out)
+        out = _bn(train, self.norm_eval)(out)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False)(x)
+            identity = _bn(train, self.norm_eval)(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) bottleneck (reference resnet.py:55-93)."""
+    features: int  # bottleneck width; output is features * 4
+    stride: int = 1
+    dilation: int = 1
+    norm_eval: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_features = self.features * self.expansion
+        identity = x
+        out = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        out = _bn(train, self.norm_eval)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      padding='SAME', use_bias=False)(out)
+        out = _bn(train, self.norm_eval)(out)
+        out = nn.relu(out)
+        out = nn.Conv(out_features, (1, 1), use_bias=False)(out)
+        out = _bn(train, self.norm_eval)(out)
+        if self.stride != 1 or x.shape[-1] != out_features:
+            identity = nn.Conv(out_features, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False)(x)
+            identity = _bn(train, self.norm_eval)(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Multi-stage ResNet trunk returning the stages in ``out_indices``.
+
+    Output channels per stage: basic (64, 128, 256, 512);
+    bottleneck (256, 512, 1024, 2048). Strides 4, 8, 16, 32.
+    """
+    depth: int = 101
+    num_stages: int = 4
+    out_indices: Sequence[int] = (3,)
+    frozen_stages: int = -1
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    norm_eval: bool = False
+    pretrained: bool = True  # kept for config parity; loading is external
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_type, stage_blocks = RESNET_SPECS[self.depth]
+        block_cls = BasicBlock if block_type == 'basic' else Bottleneck
+        stage_blocks = stage_blocks[:self.num_stages]
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name='conv1')(x)
+        x = _bn(train, self.norm_eval)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        features = 64
+        for stage_idx, num_blocks in enumerate(stage_blocks):
+            stride = 1 if stage_idx == 0 else 2
+            dilation = self.dilations[stage_idx] if stage_idx < len(self.dilations) else 1
+            if dilation > 1:
+                stride = 1
+            for block_idx in range(num_blocks):
+                x = block_cls(features=features,
+                              stride=stride if block_idx == 0 else 1,
+                              dilation=dilation,
+                              norm_eval=self.norm_eval,
+                              name=f'layer{stage_idx + 1}_{block_idx}')(x, train=train)
+            if self.frozen_stages >= stage_idx + 1:
+                x = jax.lax.stop_gradient(x)
+            if stage_idx in self.out_indices:
+                outs.append(x)
+            features *= 2
+        return outs
+
+
+@BACKBONE_DICT.register_module
+def resnet(**kwargs) -> ResNet:
+    """Factory matching the reference's keyword API (resnet.py:255-270)."""
+    kwargs.pop('pretrained', None)
+    num_stages = kwargs.get('num_stages', 4)
+    kwargs.setdefault('dilations', tuple([1] * num_stages))
+    valid = {'depth', 'num_stages', 'out_indices', 'frozen_stages',
+             'dilations', 'norm_eval'}
+    kwargs = {k: v for k, v in kwargs.items() if k in valid}
+    if 'out_indices' in kwargs:
+        kwargs['out_indices'] = tuple(kwargs['out_indices'])
+    if 'dilations' in kwargs:
+        kwargs['dilations'] = tuple(kwargs['dilations'])
+    return ResNet(**kwargs)

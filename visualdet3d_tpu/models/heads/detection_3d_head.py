@@ -1,0 +1,335 @@
+"""Anchor-based 3D detection head: flax modules + batched assign/loss/decode.
+
+TPU-first redesign of the reference AnchorBasedDetection3DHead
+(visualDet3D/networks/heads/detection_3d_head.py:21-533):
+
+* The reference loops over images in Python and boolean-indexes positive
+  anchors (head:410-489) — a serialization point. Here assignment, encoding,
+  and the losses are computed over *all* anchors of *all* images at once with
+  masks; the per-image loop becomes a vmap, every shape is static, and the
+  whole loss jits into one fused XLA program.
+* ``get_bboxes`` (head:341-400) becomes a fixed-capacity decode: score
+  threshold and prior-validity are masks, NMS is the on-device fixed-K kernel,
+  and the output is (scores, boxes, labels, valid) arrays of static shape.
+
+Head variants (reg-branch differences):
+  - AnchorBasedDetection3DHead: ModulatedDeformConv first (head:70).
+  - GroundAwareHead: LookGround ground-sampling first
+    (yolomono3d_detector.py:12-47).
+  - StereoHead: ConvBnReLU + BasicBlock (head:500-533).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visualdet3d_tpu.geometry import calc_iou, clip_boxes
+from visualdet3d_tpu.models.blocks import (
+    ConvBnReLU,
+    LookGround,
+    ModulatedDeformConv,
+    anchor_flatten,
+)
+from visualdet3d_tpu.models.backbones.resnet import BasicBlock
+from visualdet3d_tpu.models.heads import target_coding
+from visualdet3d_tpu.models.heads.losses import (
+    bce_with_logits,
+    modified_smooth_l1,
+    sigmoid_focal_loss,
+)
+from visualdet3d_tpu.ops.nms import nms
+
+
+# ---------------------------------------------------------------------------
+# Assignment (max-IoU assigner, fully vectorised)
+# ---------------------------------------------------------------------------
+
+def assign_anchors(anchors: jnp.ndarray, ann: jnp.ndarray, useful: jnp.ndarray,
+                   fg_iou_threshold: float, bg_iou_threshold: float,
+                   match_low_quality: bool = True,
+                   min_iou_threshold: float = 0.0) -> Dict[str, jnp.ndarray]:
+    """Single-image max-IoU assignment over all anchors.
+
+    Args:
+      anchors: [N, 4]; ann: [M, 12] padded annotations (cls == -1 padding);
+      useful: [N] bool geometric filter.
+    Returns dict of:
+      gt_index: [N] assigned GT row (valid only where pos_mask).
+      pos_mask / neg_mask: [N] bool.
+      max_iou: [N].
+
+    reference: _assign (detection_3d_head.py:101-174), including the
+    match_low_quality gt-argmax override with last-gt-wins tie-breaking.
+    """
+    gt_valid = ann[:, 4] > -0.5  # [M]
+    iou = calc_iou(anchors, ann[:, :4])  # [N, M]
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    iou = jnp.where(useful[:, None], iou, -1.0)
+
+    max_iou = jnp.max(iou, axis=1)
+    argmax_iou = jnp.argmax(iou, axis=1)
+
+    neg_mask = useful & (max_iou >= 0) & (max_iou < bg_iou_threshold)
+    pos_mask = useful & (max_iou >= fg_iou_threshold)
+    gt_index = argmax_iou
+
+    if match_low_quality:
+        gt_max = jnp.max(iou, axis=0)  # [M]
+        cond = (iou == gt_max[None, :]) & gt_valid[None, :] & \
+               (gt_max[None, :] >= min_iou_threshold) & (iou >= 0)
+        any_low = jnp.any(cond, axis=1)
+        m_idx = jnp.arange(ann.shape[0])
+        # last gt wins, matching the reference's in-order overwrite loop
+        low_choice = jnp.max(jnp.where(cond, m_idx[None, :], -1), axis=1)
+        gt_index = jnp.where(any_low, low_choice, gt_index)
+        pos_mask = pos_mask | (useful & any_low)
+
+    return dict(gt_index=gt_index, pos_mask=pos_mask, neg_mask=neg_mask,
+                max_iou=max_iou)
+
+
+# ---------------------------------------------------------------------------
+# Loss (whole batch, one fused program)
+# ---------------------------------------------------------------------------
+
+def detection_3d_loss(cls_preds: jnp.ndarray,
+                      reg_preds: jnp.ndarray,
+                      anchors: jnp.ndarray,
+                      anchor_mean_std: jnp.ndarray,
+                      useful_mask: jnp.ndarray,
+                      annotations: jnp.ndarray,
+                      num_classes: int,
+                      focal_loss_gamma: float,
+                      balance_weights,
+                      regression_weight,
+                      L1_regression_alpha: float,
+                      fg_iou_threshold: float = 0.5,
+                      bg_iou_threshold: float = 0.4,
+                      match_low_quality: bool = True,
+                      min_iou_threshold: float = 0.0) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """Classification + regression loss for the whole batch.
+
+    Args:
+      cls_preds: [B, N, num_classes + 1] raw logits (last channel = alpha).
+      reg_preds: [B, N, 12].
+      anchors: [N, 4]; anchor_mean_std: [N, T, 6, 2]; useful_mask: [B, N].
+      annotations: [B, M, 12] compound annotations (cls==-1 padding).
+    Returns (cls_loss [1], reg_loss [1], loss_dict) — same contract as the
+    reference ``loss`` (detection_3d_head.py:402-498).
+    """
+    balance_weights = jnp.asarray(balance_weights, cls_preds.dtype)
+    regression_weight = jnp.asarray(regression_weight, cls_preds.dtype)
+
+    def per_image(cls_pred, reg_pred, useful, ann):
+        cls_score = cls_pred[:, :num_classes]
+        alpha_logit = cls_pred[:, num_classes:num_classes + 1]
+
+        assignment = assign_anchors(anchors, ann, useful,
+                                    fg_iou_threshold, bg_iou_threshold,
+                                    match_low_quality, min_iou_threshold)
+        gt_index = assignment['gt_index']
+        pos_mask = assignment['pos_mask']
+        neg_mask = assignment['neg_mask']
+
+        gt_rows = ann[gt_index]  # [N, 12]
+        gt_cls = gt_rows[:, 4].astype(jnp.int32)
+        sel_mean_std = target_coding.select_mean_std_by_class(anchor_mean_std, gt_cls)
+        prior_ok = sel_mean_std[:, 0, 0] > 0  # z-prior exists (head:311-313)
+        pos_mask = pos_mask & prior_ok
+
+        # classification targets: -1 ignored, 0 negative, one-hot positive
+        labels = jnp.full((anchors.shape[0], num_classes), -1.0, cls_pred.dtype)
+        labels = jnp.where(neg_mask[:, None], 0.0, labels)
+        onehot = jax.nn.one_hot(gt_cls, num_classes, dtype=cls_pred.dtype)
+        labels = jnp.where(pos_mask[:, None], onehot, labels)
+
+        num_pos = jnp.sum(pos_mask)
+        num_neg = jnp.sum(neg_mask)
+        cls_loss = sigmoid_focal_loss(cls_score, labels, focal_loss_gamma,
+                                      balance_weights).sum() / \
+            jnp.clip(num_pos + num_neg, 1, None)
+
+        # regression targets for every anchor (masked to positives)
+        targets, alpha_cls = target_coding.encode(anchors, gt_rows, sel_mean_std)
+        reg_elem = modified_smooth_l1(targets, reg_pred, L1_regression_alpha)
+        alpha_elem = bce_with_logits(alpha_logit, alpha_cls)
+        per_anchor = jnp.concatenate([reg_elem, alpha_elem], axis=-1) * regression_weight
+        reg_loss = jnp.sum(
+            jnp.where(pos_mask[:, None], per_anchor, 0.0), axis=0) / \
+            jnp.clip(num_pos, 1, None)  # [13]
+        reg_loss = jnp.where(num_pos > 0, reg_loss, jnp.zeros_like(reg_loss))
+
+        num_gt = jnp.sum(ann[:, 4] > -0.5)
+        has_gt = num_gt > 0
+        cls_loss = jnp.where(has_gt, cls_loss, 0.0)
+        # per-image weight = number of GT boxes (reference head:439,:469,:474)
+        return cls_loss, reg_loss, num_gt.astype(cls_pred.dtype)
+
+    cls_losses, reg_losses, weights = jax.vmap(per_image)(
+        cls_preds, reg_preds, useful_mask, annotations)
+
+    cls_loss = jnp.mean(cls_losses, keepdims=True)
+    weighted = jnp.sum(weights[:, None] * reg_losses /
+                       (jnp.sum(weights) + 1e-6), axis=0)  # [13]
+    reg_loss = jnp.mean(weighted, keepdims=True)
+    loss_dict = dict(cls_loss=cls_loss, reg_loss=reg_loss,
+                     total_loss=cls_loss + reg_loss)
+    return cls_loss, reg_loss, loss_dict
+
+
+# ---------------------------------------------------------------------------
+# Inference decode (fixed capacity)
+# ---------------------------------------------------------------------------
+
+def get_bboxes(cls_preds: jnp.ndarray,
+               reg_preds: jnp.ndarray,
+               anchors: jnp.ndarray,
+               anchor_mean_std: jnp.ndarray,
+               useful_mask: jnp.ndarray,
+               num_classes: int,
+               image_hw: Tuple[int, int],
+               score_thr: float = 0.75,
+               nms_iou_thr: float = 0.5,
+               max_detections: int = 32,
+               pre_top_k: int = 1024,
+               cls_agnostic: bool = True):
+    """Single-image decode + NMS, all on device, static output shapes.
+
+    Args:
+      cls_preds: [N, C+1] raw logits; reg_preds: [N, 12];
+      useful_mask: [N] bool.
+    Returns:
+      scores [K], bboxes [K, 11], labels [K], valid [K] with K=max_detections.
+
+    reference: get_bboxes (detection_3d_head.py:341-400). Note the reference
+    reads the (typo'd) key 'cls_agnositc' with default True, so its NMS is
+    effectively always class-agnostic; we default the same way.
+    """
+    probs = jax.nn.sigmoid(cls_preds)
+    cls_score = probs[:, :num_classes]
+    alpha_score = probs[:, num_classes:num_classes + 1]
+
+    max_score = jnp.max(cls_score, axis=-1)
+    label = jnp.argmax(cls_score, axis=-1)
+
+    valid = useful_mask & (max_score > score_thr)
+
+    sel_mean_std = target_coding.select_mean_std_by_class(anchor_mean_std, label)
+    boxes, prior_ok = target_coding.decode(anchors, reg_preds, sel_mean_std, alpha_score)
+    valid = valid & prior_ok
+    boxes = clip_boxes(boxes, image_hw)
+
+    nms_boxes = boxes[:, :4]
+    if not cls_agnostic:
+        max_coord = jnp.max(nms_boxes)
+        nms_boxes = nms_boxes + label.astype(nms_boxes.dtype)[:, None] * max_coord
+
+    keep_idx, keep_valid = nms(nms_boxes, max_score, nms_iou_thr,
+                               max_outputs=max_detections, pre_top_k=pre_top_k,
+                               valid_mask=valid)
+    safe_idx = jnp.clip(keep_idx, 0, None)
+    return (max_score[safe_idx] * keep_valid,
+            boxes[safe_idx],
+            label[safe_idx],
+            keep_valid)
+
+
+# ---------------------------------------------------------------------------
+# flax head modules
+# ---------------------------------------------------------------------------
+
+class _ClsBranch(nn.Module):
+    """Shared classification tower: convs + Dropout2d(0.3), zero-init output
+    (reference head:56-68)."""
+    num_anchors: int
+    num_cls_output: int
+    cls_feature_size: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(2):
+            x = nn.Conv(self.cls_feature_size, (3, 3), padding='SAME')(x)
+            x = nn.Dropout(0.3, broadcast_dims=(1, 2), deterministic=not train)(x)
+            x = nn.relu(x)
+        x = nn.Conv(self.num_anchors * self.num_cls_output, (3, 3), padding='SAME',
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros)(x)
+        return anchor_flatten(x, self.num_cls_output)
+
+
+class AnchorBasedDetection3DHead(nn.Module):
+    """Base head: reg branch opens with a modulated deformable conv
+    (reference head:70-87)."""
+    num_anchors: int
+    num_cls_output: int
+    num_reg_output: int = 12
+    cls_feature_size: int = 1024
+    reg_feature_size: int = 1024
+
+    @nn.compact
+    def __call__(self, features, P2=None, train: bool = False):
+        cls = _ClsBranch(self.num_anchors, self.num_cls_output,
+                         self.cls_feature_size)(features, train=train)
+        x = ModulatedDeformConv(self.reg_feature_size, 3)(features)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.reg_feature_size, (3, 3), padding='SAME')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_anchors * self.num_reg_output, (3, 3), padding='SAME',
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros)(x)
+        reg = anchor_flatten(x, self.num_reg_output)
+        return cls, reg
+
+
+class GroundAwareHead(nn.Module):
+    """GAC head: LookGround ground-feature sampling feeds the reg tower
+    (reference yolomono3d_detector.py:12-47)."""
+    num_anchors: int
+    num_cls_output: int
+    num_reg_output: int = 12
+    cls_feature_size: int = 512
+    reg_feature_size: int = 1024
+
+    @nn.compact
+    def __call__(self, features, P2, train: bool = False):
+        cls = _ClsBranch(self.num_anchors, self.num_cls_output,
+                         self.cls_feature_size)(features, train=train)
+        x = LookGround(features.shape[-1])(features, P2)
+        x = nn.Conv(self.reg_feature_size, (3, 3), padding='SAME')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.reg_feature_size, (3, 3), padding='SAME')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_anchors * self.num_reg_output, (3, 3), padding='SAME',
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros)(x)
+        reg = anchor_flatten(x, self.num_reg_output)
+        return cls, reg
+
+
+class StereoHead(nn.Module):
+    """YOLOStereo3D head (reference head:500-533)."""
+    num_anchors: int
+    num_cls_output: int
+    num_reg_output: int = 12
+    cls_feature_size: int = 256
+    reg_feature_size: int = 1408
+
+    @nn.compact
+    def __call__(self, features, P2=None, train: bool = False):
+        cls = _ClsBranch(self.num_anchors, self.num_cls_output,
+                         self.cls_feature_size)(features, train=train)
+        x = ConvBnReLU(self.reg_feature_size, (3, 3))(features, train=train)
+        x = BasicBlock(self.reg_feature_size)(x, train=train)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_anchors * self.num_reg_output, (3, 3), padding='SAME',
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros)(x)
+        reg = anchor_flatten(x, self.num_reg_output)
+        return cls, reg
