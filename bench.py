@@ -1,0 +1,80 @@
+"""Benchmark: YOLOStereo3D forward throughput on one chip.
+
+Measures the flagship stereo3D inference path (dual-eye backbone, Pallas
+correlation volumes, cost-volume pyramid, head, decode + on-device NMS) at
+the KITTI benchmark resolution (288 x 1280), and prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/s/chip", "vs_baseline": ...}
+
+Baseline: the north-star target of 500 frames/s/chip on TPU v5e
+(BASELINE.md; the reference YOLOStereo3D paper reports ~12.5 fps on a
+GTX 1080Ti). vs_baseline = fps / 500.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_system
+
+    image_hw = (288, 1280)
+    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 8
+    system = _build_system(image_hw)
+    variables = system.init(jax.random.PRNGKey(0), image_hw, batch_size=1)
+    system.anchor_pack(image_hw)
+
+    @jax.jit
+    def forward(variables, left, right, P2):
+        out = system.predict(variables, left, right, P2, max_detections=32)
+        return out['scores'], out['bboxes'], out['labels'], out['valid']
+
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32))
+    right = jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32))
+    P2 = jnp.asarray(np.tile(np.array([
+        [721.5377, 0.0, 609.5593, 44.85728],
+        [0.0, 721.5377, 72.854, 0.2163791],
+        [0.0, 0.0, 1.0, 0.002745884],
+    ], np.float32), (batch, 1, 1)))
+
+    # warmup / compile
+    jax.block_until_ready(forward(variables, left, right, P2))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, left, right, P2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    # p50 latency at batch 1
+    left1, right1, P21 = left[:1], right[:1], P2[:1]
+    jax.block_until_ready(forward(variables, left1, right1, P21))
+    lats = []
+    for _ in range(10):
+        t = time.perf_counter()
+        jax.block_until_ready(forward(variables, left1, right1, P21))
+        lats.append(time.perf_counter() - t)
+    p50_ms = float(np.median(lats) * 1000)
+
+    print(json.dumps({
+        'metric': 'stereo3d_forward_fps_per_chip',
+        'value': round(fps, 2),
+        'unit': 'frames/s',
+        'vs_baseline': round(fps / 500.0, 4),
+        'detail': {'batch': batch, 'image_hw': list(image_hw),
+                   'p50_latency_ms_bs1': round(p50_ms, 2),
+                   'backend': jax.default_backend()},
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,120 @@
+import numpy as np
+
+from visualdet3d_tpu.evaluator.kitti_object import eval as kitti_eval
+from visualdet3d_tpu.evaluator.kitti_object.kitti_common import (
+    annotation_from_label_lines)
+
+
+def _car_line(x, y, z, ry, score=None):
+    s = (f'Car 0.00 0 {ry - np.arctan2(x, z):.4f} '
+         f'300.00 150.00 400.00 250.00 '
+         f'1.50 1.60 3.90 {x:.2f} {y:.2f} {z:.2f} {ry:.4f}')
+    if score is not None:
+        s += f' {score:.4f}'
+    return s
+
+
+def _many_single_gt_images(n=50, seed=0):
+    """n images, each with one easy Car GT; returns (gt_annos, boxes)."""
+    rng = np.random.default_rng(seed)
+    boxes = [(float(rng.uniform(-5, 5)), 1.6, float(rng.uniform(8, 40)),
+              float(rng.uniform(-1, 1))) for _ in range(n)]
+    gts = [annotation_from_label_lines([_car_line(*b)]) for b in boxes]
+    return gts, boxes
+
+
+def _perfect_dts(boxes, seed=1):
+    rng = np.random.default_rng(seed)
+    scores = rng.uniform(0.3, 0.99, len(boxes))
+    return [annotation_from_label_lines([_car_line(*b, score=s)])
+            for b, s in zip(boxes, scores)]
+
+
+OVERLAP = np.full((2, 3, 1), 0.7)
+
+
+def test_perfect_detection_gives_100():
+    gts, boxes = _many_single_gt_images(50)
+    dts = _perfect_dts(boxes)
+    ret = kitti_eval.eval_class(gts, dts, [0], [1], metric=2,
+                                min_overlaps=OVERLAP, compute_aos=True)
+    ap3d = float(kitti_eval.get_mAP_v2(ret['precision'][0, 0, 0]))
+    np.testing.assert_allclose(ap3d, 100.0, atol=1e-6)
+    aos = float(kitti_eval.get_mAP_v2(ret['orientation'][0, 0, 0]))
+    np.testing.assert_allclose(aos, 100.0, atol=1e-6)
+
+
+def test_missed_and_false_detections_reduce_ap():
+    gts, boxes = _many_single_gt_images(50)
+    dts = _perfect_dts(boxes)
+    # miss 10 GTs entirely, add 10 false positives elsewhere
+    for i in range(10):
+        dts[i] = annotation_from_label_lines([])
+    for i in range(10, 20):
+        fp = _car_line(50.0, 1.6, 60.0, 0.0, score=0.98)
+        dts[i] = annotation_from_label_lines(
+            [_car_line(*boxes[i], score=0.9), fp])
+    ret = kitti_eval.eval_class(gts, dts, [0], [1], metric=2,
+                                min_overlaps=OVERLAP)
+    ap3d = float(kitti_eval.get_mAP_v2(ret['precision'][0, 0, 0]))
+    assert 10.0 < ap3d < 90.0
+
+
+def test_no_detections_gives_0():
+    gts, _ = _many_single_gt_images(10)
+    dts = [annotation_from_label_lines([]) for _ in gts]
+    ret = kitti_eval.eval_class(gts, dts, [0], [1], metric=2, min_overlaps=OVERLAP)
+    np.testing.assert_allclose(
+        float(kitti_eval.get_mAP_v2(ret['precision'][0, 0, 0])), 0.0, atol=1e-9)
+
+
+def test_bev_metric_discriminates_translation():
+    gts, boxes = _many_single_gt_images(50)
+    dt_close = [annotation_from_label_lines(
+        [_car_line(x + 0.1, y, z, ry, score=0.9)]) for (x, y, z, ry) in boxes]
+    dt_far = [annotation_from_label_lines(
+        [_car_line(x + 2.5, y, z, ry, score=0.9)]) for (x, y, z, ry) in boxes]
+    ap_close = float(kitti_eval.get_mAP_v2(kitti_eval.eval_class(
+        gts, dt_close, [0], [1], 1, OVERLAP)['precision'][0, 0, 0]))
+    ap_far = float(kitti_eval.get_mAP_v2(kitti_eval.eval_class(
+        gts, dt_far, [0], [1], 1, OVERLAP)['precision'][0, 0, 0]))
+    assert ap_close > 95.0
+    assert ap_far == 0.0
+
+
+def test_dontcare_suppresses_false_positives():
+    gts, boxes = _many_single_gt_images(50)
+    dts = _perfect_dts(boxes)
+    # add a DontCare region to every GT + a detection inside it
+    dc = ('DontCare -1 -1 -10 500.00 150.00 600.00 250.00 '
+          '-1 -1 -1 -1000 -1000 -1000 -10')
+    for i in range(len(gts)):
+        gt_lines = [_car_line(*boxes[i]), dc]
+        gts[i] = annotation_from_label_lines(gt_lines)
+        dt_lines = [_car_line(*boxes[i], score=0.9),
+                    'Car 0.00 0 0.10 510.00 160.00 590.00 240.00 '
+                    '1.50 1.60 3.90 8.00 1.60 30.00 0.10 0.80']
+        dts[i] = annotation_from_label_lines(dt_lines)
+    ret = kitti_eval.eval_class(gts, dts, [0], [1], metric=0, min_overlaps=OVERLAP)
+    ap = float(kitti_eval.get_mAP_v2(ret['precision'][0, 0, 0]))
+    np.testing.assert_allclose(ap, 100.0, atol=1e-6)
+
+
+def test_hard_height_filter_ignores_small_gt():
+    """GTs shorter than 25px are ignored entirely at difficulty 'hard'."""
+    small_gt = annotation_from_label_lines(
+        ['Car 0.00 0 0.10 300.00 150.00 400.00 170.00 '
+         '1.50 1.60 3.90 2.00 1.60 60.00 0.10'])  # 20px tall
+    gts = [small_gt] * 5
+    dts = [annotation_from_label_lines([]) for _ in gts]
+    ret = kitti_eval.eval_class(gts, dts, [0], [2], metric=0, min_overlaps=OVERLAP)
+    # no valid GT at all -> precision table untouched (stays zero), no crash
+    assert float(ret['precision'].sum()) == 0.0
+
+
+def test_official_result_string():
+    gts, boxes = _many_single_gt_images(10)
+    dts = _perfect_dts(boxes)
+    text = kitti_eval.get_official_eval_result(gts, dts, ['Car'])
+    assert 'Car AP' in text
+    assert 'bbox AP:' in text and '3d   AP:' in text and 'aos  AP:' in text

@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visualdet3d_tpu.registry import DETECTOR_DICT
+import visualdet3d_tpu.models.detectors.yolostereo3d  # noqa: F401
+from visualdet3d_tpu.config import EasyDict as edict
+from visualdet3d_tpu.solver import build_optimizer
+from visualdet3d_tpu.pipelines.train_state import (
+    create_train_state, make_stereo_train_step)
+
+from helpers import random_annotations, tiny_mono_cfg, write_fake_priors
+
+IMAGE_HW = (64, 160)
+
+
+def tiny_stereo_cfg(pre):
+    cfg = tiny_mono_cfg(pre, obj_types=('Car', 'Pedestrian'), ground_aware=False,
+                        depth=18)
+    cfg.name = 'Stereo3D'
+    cfg.backbone.out_indices = (0, 1, 2)
+    cfg.head.layer_cfg.num_features_in = 1408
+    cfg.head.layer_cfg.cls_feature_size = 32
+    cfg.head.layer_cfg.reg_feature_size = 64
+    cfg.head.loss_cfg.pop('match_low_quality')  # stereo default: True
+    cfg.head.loss_cfg.balance_weight = [20.0, 40.0]
+    cfg.head.test_cfg.nms_iou_thr = 0.4
+    return cfg
+
+
+def sample_P(batch, tx=0.0):
+    P = np.array([
+        [220.0, 0.0, 80.0, tx],
+        [0.0, 220.0, 30.0, 0.1],
+        [0.0, 0.0, 1.0, 0.002],
+    ], np.float32)
+    return np.repeat(P[None], batch, axis=0)
+
+
+@pytest.fixture(scope='module')
+def system(tmp_path_factory):
+    pre = str(tmp_path_factory.mktemp('pre'))
+    write_fake_priors(pre, ['Car', 'Pedestrian'])
+    cfg = tiny_stereo_cfg(pre)
+    return DETECTOR_DICT[cfg.name](cfg)
+
+
+def test_stereo_train_step_with_disparity_loss(system):
+    rng = jax.random.PRNGKey(0)
+    tx = build_optimizer(
+        edict(type_name='adam', keywords=edict(lr=1e-4), clipped_gradient_norm=0.1))
+    state = create_train_state(system, rng, IMAGE_HW, tx, batch_size=2)
+
+    nprng = np.random.default_rng(0)
+    disparity = np.zeros((2, IMAGE_HW[0] // 4, IMAGE_HW[1] // 4), np.float32)
+    disparity[:, 8:, 10:] = nprng.uniform(1, 20, disparity[:, 8:, 10:].shape)
+    batch = dict(
+        left_images=jnp.asarray(nprng.standard_normal((2, *IMAGE_HW, 3)).astype(np.float32)),
+        right_images=jnp.asarray(nprng.standard_normal((2, *IMAGE_HW, 3)).astype(np.float32)),
+        P2=jnp.asarray(sample_P(2)),
+        P3=jnp.asarray(sample_P(2, tx=-120.0)),
+        annotations=jnp.asarray(random_annotations(nprng, 2, num_classes=2,
+                                                   image_hw=IMAGE_HW)),
+        disparity=jnp.asarray(disparity),
+    )
+    step = make_stereo_train_step(system, tx, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['total']))
+    assert float(metrics['total']) > 0
+    assert float(metrics['disparity_loss'][0]) > 0
+
+    variables = {'params': new_state.params, 'batch_stats': new_state.batch_stats}
+    out = system.predict(variables, batch['left_images'], batch['right_images'],
+                         batch['P2'], batch['P3'], max_detections=8)
+    assert out['scores'].shape == (2, 8)
+    assert out['bboxes'].shape == (2, 8, 11)
+
+
+def test_stereo_feature_channels(system):
+    """Channel plan parity: 24/24/96 volumes -> 1152 pyramid + 256|64 left."""
+    variables = system.init(jax.random.PRNGKey(0), IMAGE_HW, batch_size=1)
+    left = jnp.zeros((1, *IMAGE_HW, 3))
+    P2 = jnp.asarray(sample_P(1))
+    cls_preds, reg_preds, depth = system.net.apply(
+        variables, left, left, P2, train=False)
+    n_anchors_total = (IMAGE_HW[0] // 16) * (IMAGE_HW[1] // 16) * system.anchors.num_anchors
+    assert cls_preds.shape == (1, n_anchors_total, 3)   # 2 classes + alpha
+    assert reg_preds.shape == (1, n_anchors_total, 12)

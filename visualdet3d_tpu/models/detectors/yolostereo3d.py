@@ -1,0 +1,252 @@
+"""YOLOStereo3D: stereo 3D detection — the benchmark flagship.
+
+TPU-first re-design of the reference stereo stack
+(visualDet3D/networks/detectors/yolostereo3d_core.py:14-126,
+yolostereo3d_detector.py:17-104):
+
+* Both eyes run through the backbone as one doubled batch (the reference
+  does the same by concatenation, core:110-118) — on TPU this keeps the MXU
+  busy with one large conv batch instead of two small ones.
+* The multi-scale correlation volumes (stride 4/8/16) are the fused Pallas
+  kernel (ops/cost_volume.py) instead of Python loops over disparity
+  (reference PSM_cost_volume.py:58-64, 90-95).
+* The concat volume at stride 16 is aggregated with XLA NDHWC 3D convs.
+* CostVolumePyramid / StereoMerging keep the reference channel plan:
+  24 -> 96 -> 384 -> 1152 (+256 left features = 1408).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from visualdet3d_tpu.models.backbones.resnet import resnet, BasicBlock
+from visualdet3d_tpu.models.blocks import ResGhostModule
+from visualdet3d_tpu.models.detectors.yolo3d import Yolo3DSystem
+from visualdet3d_tpu.models.heads import detection_3d_head as head_lib
+from visualdet3d_tpu.models.heads.losses import stereo_focal_loss
+from visualdet3d_tpu.ops.cost_volume import concat_volume, correlation_volume
+from visualdet3d_tpu.registry import DETECTOR_DICT
+
+
+class CostVolume3D(nn.Module):
+    """Concat cost volume + 3D conv aggregation at stride 16.
+
+    reference: CostVolume (PSM_cost_volume.py:19-68): 1x1 down-projection to
+    PSM_features, concat volume over D=max_disp/scale, two 3D convs, then the
+    (D * F) channels are flattened back to 2D.
+    """
+    max_disp: int = 192
+    downsample_scale: int = 16
+    psm_features: int = 8
+
+    @nn.compact
+    def __call__(self, left, right, train: bool = False):
+        d = self.max_disp // self.downsample_scale
+        # shared 1x1 down-projection for both eyes: one doubled-batch conv
+        b = left.shape[0]
+        both = jnp.concatenate([left, right], axis=0)
+        both = nn.Conv(self.psm_features, (1, 1))(both)
+        both = nn.BatchNorm(use_running_average=not train, momentum=0.9)(both)
+        both = nn.relu(both)
+        l, r = both[:b], both[b:]
+        vol = concat_volume(l, r, d)  # [B, D, H, W, 2F] (NDHWC)
+        for _ in range(2):
+            vol = nn.Conv(self.psm_features, (3, 3, 3), padding='SAME')(vol)
+            vol = nn.BatchNorm(use_running_average=not train, momentum=0.9)(vol)
+            vol = nn.relu(vol)
+        b, dd, h, w, f = vol.shape
+        # [B, H, W, D*F] channels-last flatten
+        return vol.transpose(0, 2, 3, 1, 4).reshape(b, h, w, dd * f)
+
+
+class CostVolumePyramid(nn.Module):
+    """Fuse stride-4/8/16 volumes into stride-16 features (+ training-time
+    disparity head). reference: yolostereo3d_core.py:14-71."""
+    depth_channel_4: int
+    depth_channel_8: int
+    depth_channel_16: int
+
+    @nn.compact
+    def __call__(self, psv4, psv8, psv16, train: bool = False):
+        c4 = self.depth_channel_4
+        x = ResGhostModule(3 * c4, 3, ratio=3)(psv4, train=train)
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+        x = BasicBlock(3 * c4)(x, train=train)
+        x = jnp.concatenate([x, psv8], axis=-1)
+
+        c8 = 3 * c4 + self.depth_channel_8
+        x = ResGhostModule(3 * c8, 3, ratio=3)(x, train=train)
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+        x = BasicBlock(3 * c8)(x, train=train)
+        x = jnp.concatenate([x, psv16], axis=-1)
+
+        c16 = 3 * c8 + self.depth_channel_16
+        x = ResGhostModule(3 * c16, kernel_size=3, ratio=3)(x, train=train)
+        features = BasicBlock(3 * c16)(x, train=train)  # [B, H/16, W/16, 1152]
+
+        if train:
+            # upsample x4 and predict a 96-channel disparity distribution
+            # (reference depth_output head, yolostereo3d_core.py:50-61)
+            c = features.shape[-1]
+            y = jax.image.resize(features, (features.shape[0], features.shape[1] * 2,
+                                            features.shape[2] * 2, c), 'bilinear')
+            y = nn.Conv(c // 2, (3, 3), padding='SAME')(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+            y = nn.relu(y)
+            y = jax.image.resize(y, (y.shape[0], y.shape[1] * 2, y.shape[2] * 2,
+                                     c // 2), 'bilinear')
+            y = nn.Conv(c // 4, (3, 3), padding='SAME')(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+            y = nn.relu(y)
+            depth_output = nn.Conv(96, (1, 1))(y)  # [B, H/4, W/4, 96]
+        else:
+            depth_output = None
+        return features, depth_output
+
+    @property
+    def output_channel_num(self):
+        return 3 * (3 * (3 * self.depth_channel_4 + self.depth_channel_8)
+                    + self.depth_channel_16)
+
+
+class StereoMerging(nn.Module):
+    """Correlation volumes at stride 4/8 + concat volume at 16, fused by the
+    pyramid; concat with left stride-16 features. reference: core:73-94."""
+    base_features: int
+
+    @nn.compact
+    def __call__(self, left_feats, right_feats, train: bool = False):
+        psv4 = correlation_volume(left_feats[0], right_feats[0], 96 // 4)
+        psv8 = correlation_volume(left_feats[1], right_feats[1], 192 // 8)
+        psv16 = CostVolume3D(max_disp=192, downsample_scale=16, psm_features=8)(
+            left_feats[2], right_feats[2], train=train)
+        pyramid = CostVolumePyramid(psv4.shape[-1], psv8.shape[-1], psv16.shape[-1])
+        psv_features, depth_output = pyramid(psv4, psv8, psv16, train=train)
+        features = jnp.concatenate([left_feats[2], psv_features], axis=-1)
+        return features, depth_output
+
+
+class YoloStereo3DNet(nn.Module):
+    """Dual-eye backbone (doubled batch) + StereoMerging + StereoHead."""
+    backbone_cfg: FrozenDict
+    head_cfg: FrozenDict
+    num_anchors: int
+
+    @nn.compact
+    def __call__(self, left_images, right_images, P2=None, train: bool = False):
+        b = left_images.shape[0]
+        images = jnp.concatenate([left_images, right_images], axis=0)
+        feats = resnet(**dict(self.backbone_cfg))(images, train=train)
+        left_feats = [f[:b] for f in feats]
+        right_feats = [f[b:] for f in feats]
+
+        base = 256 if dict(self.backbone_cfg)['depth'] > 34 else 64
+        features, depth_output = StereoMerging(base)(left_feats, right_feats,
+                                                     train=train)
+        layer_cfg = dict(self.head_cfg)
+        head = head_lib.StereoHead(
+            num_anchors=self.num_anchors,
+            num_cls_output=layer_cfg['num_cls_output'],
+            num_reg_output=layer_cfg['num_reg_output'],
+            cls_feature_size=layer_cfg.get('cls_feature_size', 256),
+            reg_feature_size=layer_cfg.get('reg_feature_size', 1408),
+        )
+        cls_preds, reg_preds = head(features, P2, train=train)
+        return cls_preds, reg_preds, depth_output
+
+
+@DETECTOR_DICT.register_module
+class Stereo3D(Yolo3DSystem):
+    """reference: yolostereo3d_detector.py:17 (Stereo3D)."""
+
+    def __init__(self, network_cfg):
+        super().__init__(network_cfg)
+        self.max_disp = int(network_cfg.get('max_disparity', 96))
+        self.net = YoloStereo3DNet(
+            backbone_cfg=FrozenDict(dict(network_cfg.backbone)),
+            head_cfg=FrozenDict(dict(self.layer_cfg)),
+            num_anchors=self.anchors.num_anchors)
+
+    def init(self, rng, image_hw: Tuple[int, int], batch_size: int = 1):
+        left = jnp.zeros((batch_size, image_hw[0], image_hw[1], 3), jnp.float32)
+        P2 = jnp.eye(3, 4)[None].repeat(batch_size, axis=0)
+        # init in train mode so train-only submodules (the disparity head)
+        # create their parameters; eval apply simply leaves them unused
+        prng, drng = jax.random.split(rng)
+        variables = self.net.init({'params': prng, 'dropout': drng},
+                                  left, left, P2, train=True)
+        return variables
+
+    def loss(self, variables, left_images, right_images, P2, P3, annotations,
+             disparity=None, rng=None, train: bool = True):
+        """reference: Stereo3D.train_forward (yolostereo3d_detector.py:42-75):
+        detection loss + auxiliary stereo-focal disparity loss, the latter
+        only applied when the detection reg loss is active."""
+        image_hw = (left_images.shape[1], left_images.shape[2])
+        pack = self.anchor_pack(image_hw)
+        rngs = {'dropout': rng} if rng is not None else {}
+        (cls_preds, reg_preds, depth_output), new_state = self.net.apply(
+            variables, left_images, right_images, P2, train=train,
+            rngs=rngs, mutable=['batch_stats'] if train else [])
+        useful = self.anchors.useful_mask(pack, P2) if \
+            self.loss_cfg.get('filter_anchor', True) else \
+            jnp.ones((P2.shape[0], pack['anchors'].shape[0]), bool)
+        cls_loss, reg_loss, loss_dict = head_lib.detection_3d_loss(
+            cls_preds, reg_preds,
+            jnp.asarray(pack['anchors']),
+            jnp.asarray(pack['anchor_mean_std']),
+            useful, annotations,
+            num_classes=self.num_classes,
+            focal_loss_gamma=self.loss_cfg.get('focal_loss_gamma', 0.0),
+            balance_weights=self.loss_cfg.get('balance_weight', [1.0] * self.num_classes),
+            regression_weight=self.loss_cfg.get(
+                'regression_weight', [1.0] * self.num_regression_loss_terms),
+            L1_regression_alpha=self.loss_cfg.get('L1_regression_alpha', 25.0),
+            fg_iou_threshold=self.loss_cfg.get('fg_iou_threshold', 0.5),
+            bg_iou_threshold=self.loss_cfg.get('bg_iou_threshold', 0.4),
+            match_low_quality=self.loss_cfg.get('match_low_quality', True),
+        )
+        if train and disparity is not None and depth_output is not None:
+            disp_loss = stereo_focal_loss(depth_output, disparity,
+                                          variance=0.5, sparse=True)
+            disp_loss = jnp.where(reg_loss.mean() > 0, disp_loss, 0.0)
+            loss_dict['disparity_loss'] = disp_loss[None]
+            reg_loss = reg_loss + disp_loss
+            loss_dict['total_loss'] = cls_loss + reg_loss
+        return (cls_loss, reg_loss, loss_dict), new_state
+
+    def predict(self, variables, left_images, right_images, P2, P3=None,
+                max_detections: int = 32):
+        image_hw = (left_images.shape[1], left_images.shape[2])
+        pack = self.anchor_pack(image_hw)
+        cls_preds, reg_preds, _ = self.net.apply(
+            variables, left_images, right_images, P2, train=False)
+        is_filtering = self.test_cfg.get(
+            'filter_anchor', self.loss_cfg.get('filter_anchor', True))
+        if is_filtering:
+            useful = self.anchors.useful_mask(pack, P2)
+        else:
+            useful = jnp.ones((P2.shape[0], pack['anchors'].shape[0]), bool)
+
+        def decode_one(cls_p, reg_p, mask):
+            return head_lib.get_bboxes(
+                cls_p, reg_p,
+                jnp.asarray(pack['anchors']),
+                jnp.asarray(pack['anchor_mean_std']),
+                mask,
+                num_classes=self.num_classes,
+                image_hw=image_hw,
+                score_thr=self.test_cfg.get('score_thr', 0.75),
+                nms_iou_thr=self.test_cfg.get('nms_iou_thr', 0.4),
+                max_detections=max_detections,
+                cls_agnostic=self.test_cfg.get('cls_agnositc', True),
+            )
+
+        scores, bboxes, labels, valid = jax.vmap(decode_one)(cls_preds, reg_preds, useful)
+        return dict(scores=scores, bboxes=bboxes, labels=labels, valid=valid)

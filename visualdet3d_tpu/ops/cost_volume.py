@@ -41,27 +41,40 @@ def correlation_volume_xla(left: jnp.ndarray, right: jnp.ndarray, num_disp: int)
     for d in range(num_disp):
         if d == 0:
             prod = jnp.mean(left * right, axis=-1)
+        elif d >= w:  # disparity exceeds width: whole column is zero
+            prod = jnp.zeros((b, h, w), left.dtype)
         else:
-            shifted = jnp.pad(right[:, :, :-d, :], ((0, 0), (0, 0), (d, 0), (0, 0)))
+            shifted = jnp.pad(right[:, :, :w - d, :], ((0, 0), (0, 0), (d, 0), (0, 0)))
             prod = jnp.mean(left * shifted, axis=-1)
         cols.append(prod)
     return jnp.stack(cols, axis=-1)
 
 
 def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
+    """Blocks: l/r [TR, W, C] -> o [D, TR, W].
+
+    Two VMEM-shape lessons baked in (both OOM'd scoped VMEM on real v5e):
+    * each per-disparity slice is a 2-D [TR, W] tile with W on lanes — a
+      [TR, W, 1] temporary pads its lane dim 1 -> 128 (128x blowup);
+    * the disparity loop is a fori_loop, not a Python unroll — Mosaic gives
+      every unrolled iteration's temporaries distinct stack slots (24 x
+      ~1.3 MB), while the loop body's slots are reused.
+    """
     l = l_ref[:]  # [TR, W, C]
     r = r_ref[:]
     scale = jnp.asarray(1.0 / c, l.dtype)
     tr, w, _ = l.shape
-    cols = []
-    for d in range(num_disp):
-        if d == 0:
-            r_sh = r
-        else:
-            r_sh = jnp.concatenate(
-                [jnp.zeros((tr, d, c), r.dtype), r[:, :w - d, :]], axis=1)
-        cols.append((jnp.sum(l * r_sh, axis=-1) * scale)[:, :, None])
-    o_ref[:] = jnp.concatenate(cols, axis=-1)
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 1)
+
+    def body(d, _):
+        # r_sh[t, w] = r[t, (w - d) mod W]; entries w < d are masked below
+        r_sh = pltpu.roll(r, shift=d, axis=1)
+        col = jnp.sum(l * r_sh, axis=-1) * scale  # [TR, W]
+        col = jnp.where(w_ids >= d, col, 0.0)
+        o_ref[d] = col
+        return 0
+
+    jax.lax.fori_loop(0, num_disp, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=('num_disp', 'interpret'))
@@ -73,35 +86,66 @@ def correlation_volume_pallas(left: jnp.ndarray, right: jnp.ndarray, num_disp: i
     l2 = left.reshape(bh, w, c)
     r2 = right.reshape(bh, w, c)
 
-    # rows per block: keep (2 inputs + 1 output) tiles within a few MB of VMEM
-    bytes_per_row = (2 * w * c + w * num_disp) * 4
-    tr = max(1, min(bh, (2 * 1024 * 1024) // max(bytes_per_row, 1)))
-    while bh % tr != 0:
-        tr -= 1
+    # rows per block: two double-buffered input tiles + one output tile must
+    # fit comfortably in the ~16 MB of VMEM. Mosaic requires the block's
+    # sublane dim (rows, second-to-last of the output block) to be a multiple
+    # of 8 or the full dimension.
+    bytes_per_row = (2 * 2 * w * c + 2 * w * num_disp) * 4
+    budget_rows = max(1, (4 * 1024 * 1024) // max(bytes_per_row, 1))
+    tr = bh
+    for cand in range(min(bh, budget_rows), 0, -1):
+        if cand % 8 == 0 and bh % cand == 0:
+            tr = cand
+            break
 
     grid = (bh // tr,)
     out = pl.pallas_call(
         functools.partial(_corr_kernel, num_disp=num_disp, c=c),
-        out_shape=jax.ShapeDtypeStruct((bh, w, num_disp), left.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_disp, bh, w), left.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tr, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tr, w, num_disp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((num_disp, tr, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(l2, r2)
-    return out.reshape(b, h, w, num_disp)
+    # [D, BH, W] -> [B, H, W, D]; XLA fuses this transpose into the consumer
+    return out.transpose(1, 2, 0).reshape(b, h, w, num_disp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _correlation_volume_tpu(left, right, num_disp):
+    return correlation_volume_pallas(left, right, num_disp)
+
+
+def _corr_tpu_fwd(left, right, num_disp):
+    return correlation_volume_pallas(left, right, num_disp), (left, right)
+
+
+def _corr_tpu_bwd(num_disp, residuals, g):
+    # backward via the (XLA-fused) reference formulation:
+    #   dL[w] = sum_d g[w, d] * R[w-d] / C ; dR[w] = sum_d g[w+d, d] * L[w+d] / C
+    left, right = residuals
+    _, vjp = jax.vjp(lambda l, r: correlation_volume_xla(l, r, num_disp), left, right)
+    return vjp(g)
+
+
+_correlation_volume_tpu.defvjp(_corr_tpu_fwd, _corr_tpu_bwd)
 
 
 def correlation_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int,
                        use_pallas: bool | None = None) -> jnp.ndarray:
-    """PSM cosine (correlation) cost volume; picks the fused kernel on TPU."""
+    """PSM cosine (correlation) cost volume; picks the fused kernel on TPU.
+
+    Differentiable either way: the Pallas path carries a custom VJP whose
+    backward is the XLA formulation.
+    """
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
-        return correlation_volume_pallas(left, right, num_disp)
+        return _correlation_volume_tpu(left, right, num_disp)
     return correlation_volume_xla(left, right, num_disp)
 
 
@@ -121,6 +165,9 @@ def concat_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int) -> jnp.n
     for d in range(num_disp):
         if d == 0:
             l_d, r_d = left, right
+        elif d >= w:
+            l_d = jnp.zeros_like(left)
+            r_d = jnp.zeros_like(right)
         else:
             zero = jnp.zeros((b, h, d, f), left.dtype)
             l_d = jnp.concatenate([zero, left[:, :, d:, :]], axis=2)

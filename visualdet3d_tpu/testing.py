@@ -1,0 +1,120 @@
+"""Synthetic fixtures for benchmarks, dry-runs, and tests: KITTI-shaped
+configs + synthetic anchor priors so the framework can be exercised without
+the KITTI dataset present (the real priors come from
+scripts/imdb_precompute_3d.py)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from visualdet3d_tpu.config import EasyDict as edict
+
+
+def write_synthetic_priors(preprocessed_path: str, obj_types, num_scales: int = 16,
+                           num_ratios: int = 2, pyramid_levels: int = 1) -> str:
+    """anchor_mean/std_{type}.npy with plausible KITTI Car statistics."""
+    d = os.path.join(preprocessed_path, 'training')
+    os.makedirs(d, exist_ok=True)
+    shape = (num_scales * pyramid_levels, num_ratios, 6)
+    rng = np.random.default_rng(0)
+    for t in obj_types:
+        mean = np.zeros(shape, np.float32)
+        # z decreasing with anchor size (large anchors = near objects)
+        z = np.linspace(60.0, 5.0, shape[0], dtype=np.float32)
+        mean[..., 0] = z[:, None]
+        mean[..., 1] = 0.0
+        mean[..., 2] = 0.3
+        mean[..., 3:] = np.array([1.6, 1.5, 3.9], np.float32)
+        std = np.full(shape, 1.0, np.float32)
+        std[..., 0] = 8.0
+        std[..., 1:3] = 0.6
+        std[..., 3:] = 0.25
+        np.save(os.path.join(d, f'anchor_mean_{t}.npy'), mean)
+        np.save(os.path.join(d, f'anchor_std_{t}.npy'), std)
+    return preprocessed_path
+
+
+def stereo3d_detector_cfg(preprocessed_path: str, obj_types=('Car', 'Pedestrian'),
+                          depth: int = 34) -> edict:
+    """The YOLOStereo3D benchmark config (mirrors config/Stereo3D_example)."""
+    obj_types = list(obj_types)
+    anchors = edict(
+        pyramid_levels=[4], strides=[16], sizes=[24],
+        ratios=np.array([0.5, 1.0, 2.0]),
+        scales=np.array([2 ** (i / 4.0) for i in range(16)]),
+    )
+    detector = edict(
+        obj_types=obj_types,
+        name='Stereo3D',
+        backbone=edict(depth=depth, pretrained=False, frozen_stages=-1,
+                       num_stages=3, out_indices=(0, 1, 2), norm_eval=True,
+                       dilations=(1, 1, 1)),
+        head=edict(
+            num_regression_loss_terms=13,
+            preprocessed_path=preprocessed_path,
+            num_classes=len(obj_types),
+            anchors_cfg=anchors,
+            layer_cfg=edict(
+                num_features_in=1408,
+                num_cls_output=len(obj_types) + 1,
+                num_reg_output=12,
+                cls_feature_size=256,
+                reg_feature_size=1408,
+            ),
+            loss_cfg=edict(
+                fg_iou_threshold=0.5, bg_iou_threshold=0.4,
+                L1_regression_alpha=25, focal_loss_gamma=2.0,
+                balance_weight=[20.0, 40.0][:len(obj_types)],
+                regression_weight=[1, 1, 1, 1, 1, 1, 12, 1, 1, 0.5, 0.5, 0.5, 1],
+            ),
+            test_cfg=edict(score_thr=0.75, cls_agnostic=False,
+                           nms_iou_thr=0.4, post_optimization=False),
+        ),
+    )
+    detector.anchors = detector.head.anchors_cfg
+    detector.loss = detector.head.loss_cfg
+    return detector
+
+
+def gac_detector_cfg(preprocessed_path: str, obj_types=('Car',),
+                     depth: int = 101) -> edict:
+    """GroundAwareYolo3D config (mirrors config/Yolo3D_example)."""
+    obj_types = list(obj_types)
+    anchors = edict(
+        pyramid_levels=[4], strides=[16], sizes=[24],
+        ratios=np.array([0.5, 1.0]),
+        scales=np.array([2 ** (i / 4.0) for i in range(16)]),
+    )
+    detector = edict(
+        obj_types=obj_types,
+        name='GroundAwareYolo3D',
+        backbone=edict(depth=depth, pretrained=False, frozen_stages=-1,
+                       num_stages=3, out_indices=(2,), norm_eval=False,
+                       dilations=(1, 1, 1)),
+        head=edict(
+            num_regression_loss_terms=13,
+            preprocessed_path=preprocessed_path,
+            num_classes=len(obj_types),
+            anchors_cfg=anchors,
+            layer_cfg=edict(
+                num_features_in=1024,
+                num_cls_output=len(obj_types) + 1,
+                num_reg_output=12,
+                cls_feature_size=512,
+                reg_feature_size=1024,
+            ),
+            loss_cfg=edict(
+                fg_iou_threshold=0.5, bg_iou_threshold=0.4,
+                L1_regression_alpha=25, focal_loss_gamma=2.0,
+                match_low_quality=False,
+                balance_weight=[20.0],
+                regression_weight=[1, 1, 1, 1, 1, 1, 3, 1, 1, 0.5, 0.5, 0.5, 1],
+            ),
+            test_cfg=edict(score_thr=0.75, cls_agnostic=False,
+                           nms_iou_thr=0.5, post_optimization=True),
+        ),
+    )
+    detector.anchors = detector.head.anchors_cfg
+    detector.loss = detector.head.loss_cfg
+    return detector
