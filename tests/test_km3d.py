@@ -1,0 +1,156 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visualdet3d_tpu.config import EasyDict as edict
+from visualdet3d_tpu.data.kitti.dataset.km3d_dataset import (
+    KittiMonoFlexDataset, KittiRTM3DDataset, RTM3D_CORNERS, _project_corners)
+from visualdet3d_tpu.data.kitti.kittidata import KittiObj
+from visualdet3d_tpu.models.heads import rtm3d_utils as rtm
+from visualdet3d_tpu.registry import DETECTOR_DICT
+import visualdet3d_tpu.models.detectors.km3d  # noqa: F401
+
+P2 = np.array([
+    [721.5377, 0.0, 609.5593, 44.85728],
+    [0.0, 721.5377, 172.854, 0.0],
+    [0.0, 0.0, 1.0, 0.0],
+], np.float32)
+
+
+def _make_obj(x=2.0, y=1.6, z=12.0, ry=0.3, h=1.5, w=1.6, l=3.9):
+    o = KittiObj()
+    o.type = 'Car'
+    o.truncated, o.occluded = 0.0, 0
+    o.x, o.y, o.z, o.ry = x, y, z, ry
+    o.h, o.w, o.l = h, w, l
+    o.alpha = ry - np.arctan2(x, z)
+    o.bbox_l, o.bbox_t, o.bbox_r, o.bbox_b = 500, 150, 700, 260
+    return o
+
+
+def test_gen_position_recovers_3d_center():
+    """Project a known box's 9 keypoints, feed perfect dim/rot -> the
+    least-squares solve must recover the 3D center."""
+    obj = _make_obj()
+    _, homo = _project_corners(P2, [obj], RTM3D_CORNERS)
+    kps = homo[0, :, :2].reshape(-1)  # [18], center last
+    dim = np.array([[obj.w, obj.h, obj.l]], np.float32)
+
+    # alpha consistent with the decode: rot_y = alpha + atan2(u_c - cx, f).
+    # bin2 decodes alpha in (0, pi); this alpha is slightly positive.
+    u_c = kps[16]
+    alpha = obj.ry - np.arctan2(u_c - P2[0, 2], P2[0, 0])
+    assert 0 < alpha < np.pi
+    r2 = alpha - 0.5 * np.pi
+    rot = np.array([[0, 0, 0.0, 1.0, 0, 1, np.sin(r2), np.cos(r2)]], np.float32)
+
+    pos, rot_y, alpha_pre, _ = rtm.gen_position(
+        jnp.asarray(kps)[None, None], jnp.asarray(dim)[None],
+        jnp.asarray(rot)[None], jnp.asarray(P2)[None])
+    pos = np.asarray(pos)[0, 0]
+    center = np.array([obj.x, obj.y - obj.h / 2, obj.z])
+    np.testing.assert_allclose(np.asarray(rot_y)[0, 0, 0], obj.ry, atol=1e-3)
+    np.testing.assert_allclose(pos, center, atol=0.05)
+
+
+def test_topk_and_gather():
+    hm = np.zeros((1, 8, 10, 2), np.float32)
+    hm[0, 3, 4, 0] = 0.9
+    hm[0, 6, 2, 1] = 0.8
+    scores, inds, clses, ys, xs = rtm.topk(jnp.asarray(hm), k=2)
+    assert float(scores[0, 0]) == pytest.approx(0.9)
+    assert (int(ys[0, 0]), int(xs[0, 0]), int(clses[0, 0])) == (3, 4, 0)
+    assert (int(ys[0, 1]), int(xs[0, 1]), int(clses[0, 1])) == (6, 2, 1)
+    feat = np.arange(8 * 10 * 3, dtype=np.float32).reshape(1, 8, 10, 3)
+    gathered = rtm.transpose_and_gather_feat(jnp.asarray(feat), inds)
+    np.testing.assert_allclose(np.asarray(gathered)[0, 0], feat[0, 3, 4])
+
+
+def test_heatmap_nms_keeps_peaks():
+    hm = np.zeros((1, 9, 9, 1), np.float32)
+    hm[0, 4, 4, 0] = 1.0
+    hm[0, 4, 5, 0] = 0.5  # non-max neighbour -> suppressed
+    out = np.asarray(rtm.heatmap_nms(jnp.asarray(hm)))
+    assert out[0, 4, 4, 0] == 1.0
+    assert out[0, 4, 5, 0] == 0.0
+
+
+def _targets_for(objs, dataset_cls, image_hw=(96, 320), obj_types=('Car',)):
+    ds = object.__new__(dataset_cls)
+    ds.obj_types = list(obj_types)
+    ds.num_classes = len(obj_types)
+    ds.num_vertexes = dataset_cls.num_vertexes
+    ds.corner_matrix = dataset_cls.corner_matrix
+    ds.max_objects = 8
+    image = np.zeros((*image_hw, 3), np.float32)
+    return ds._build_target(image, P2.copy(), objs)
+
+
+def test_rtm3d_target_builder():
+    obj = _make_obj()
+    obj.bbox_l, obj.bbox_t, obj.bbox_r, obj.bbox_b = 100, 30, 180, 80
+    t = _targets_for([obj], KittiRTM3DDataset)
+    assert t['hm'].shape == (24, 80, 1)
+    assert t['hm'].max() == 1.0
+    assert t['reg_mask'][0] == 1 and t['reg_mask'][1:].sum() == 0
+    assert t['hps_mask'][0].sum() == 18
+    np.testing.assert_allclose(t['dim'][0], [obj.w, obj.h, obj.l])
+    np.testing.assert_allclose(t['location'][0], [obj.x, obj.y - obj.h / 2, obj.z])
+    # the center index points at the heatmap peak
+    iy, ix = np.unravel_index(t['hm'][:, :, 0].argmax(), t['hm'][:, :, 0].shape)
+    assert t['ind'][0] == iy * 80 + ix
+
+
+def test_monoflex_target_builder():
+    # MonoFlex stamps the *projected 3D center*, which for full-KITTI P2
+    # lands around u~740 -> keep the full image width so it stays in range
+    obj = _make_obj()
+    obj.bbox_l, obj.bbox_t, obj.bbox_r, obj.bbox_b = 700, 150, 780, 220
+    t = _targets_for([obj], KittiMonoFlexDataset, image_hw=(288, 1280))
+    assert t['hm'].shape == (72, 320, 1)
+    assert t['hm'].max() == 1.0
+    assert t['hps'].shape == (8, 20)
+    assert t['kp_detph_mask'].shape == (8, 3)
+    assert t['bboxes2d_target'][0].sum() > 0
+    assert t['edge_indices'].ndim == 2 and t['edge_indices'].shape[1] == 2
+
+
+def _km3d_cfg(name='KM3D'):
+    return edict(
+        obj_types=['Car'],
+        name=name,
+        backbone=edict(name='dla', depth=34),
+        head=edict(
+            layer_cfg=edict(head_features=16),
+            loss_cfg=edict(rampup_length=100),
+            test_cfg=edict(score_thr=0.1, nms_iou_thr=0.5, top_k=20),
+        ),
+    )
+
+
+@pytest.mark.parametrize('name', ['KM3D', 'MonoFlex'])
+def test_km3d_monoflex_loss_and_predict(name):
+    cfg = _km3d_cfg(name)
+    system = DETECTOR_DICT[name](cfg)
+    image_hw = (64, 160)
+    variables = system.init(jax.random.PRNGKey(0), image_hw)
+
+    obj = _make_obj(z=10.0)
+    ds_cls = KittiRTM3DDataset if name == 'KM3D' else KittiMonoFlexDataset
+    # rescale the object's 2D box into the small test image
+    obj.bbox_l, obj.bbox_t, obj.bbox_r, obj.bbox_b = 40, 20, 100, 50
+    t = _targets_for([obj], ds_cls, image_hw=image_hw)
+    gts = {k: jnp.asarray(np.asarray(v)[None]) for k, v in t.items()}
+    images = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, *image_hw, 3)).astype(np.float32))
+    P2b = jnp.asarray(P2)[None]
+
+    (loss, loss_dict), new_state = system.loss(variables, images, gts, P2b,
+                                               rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert float(loss_dict['hm_loss']) > 0
+
+    out = system.predict(variables, images, P2b, max_detections=8)
+    assert out['scores'].shape == (1, 8)
+    assert out['bboxes'].shape == (1, 8, 11)

@@ -1,0 +1,350 @@
+"""RTM3D/KM3D/MonoFlex utilities.
+
+Device side (jnp, NHWC): heatmap max-pool NMS, top-K peak extraction,
+feature gathering by flat indices, rotation-bin losses, keypoint-depth
+decodes, and the batched 16x3 least-squares 3D position solve.
+Host side (numpy): gaussian heatmap stamping for the target builders.
+
+reference: visualDet3D/networks/utils/rtm3d_utils.py (:9-50 rot losses,
+:52-115 gaussians, :122-127 _nms, :129-182 depth decodes, :184-228 gather/
+topk, :231-313 Position_loss, :314-455 gen_position). The reference's
+double-precision + jitter trick for the normal-equation inverse
+(:439-448) becomes an f32 jittered ``jnp.linalg.solve`` (TPUs have no f64;
+solve is better conditioned than explicit inversion).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from visualdet3d_tpu.ops.rotated_iou import boxes_iou3d
+
+# ---------------------------------------------------------------------------
+# host-side target helpers (numpy)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_radius(det_size, min_overlap: float = 0.7) -> float:
+    """CornerNet gaussian radius (reference :52-77)."""
+    height, width = det_size
+    a1 = 1
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = np.sqrt(b1 ** 2 - 4 * a1 * c1)
+    r1 = (b1 + sq1) / 2
+    a2 = 4
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = np.sqrt(b2 ** 2 - 4 * a2 * c2)
+    r2 = (b2 + sq2) / 2
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = np.sqrt(b3 ** 2 - 4 * a3 * c3)
+    r3 = (b3 + sq3) / 2
+    return min(r1, r2, r3)
+
+
+def gaussian_2d(shape, sigma: float = 1.0) -> np.ndarray:
+    m, n = [(ss - 1.0) / 2.0 for ss in shape]
+    y, x = np.ogrid[-m:m + 1, -n:n + 1]
+    h = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
+    h[h < np.finfo(h.dtype).eps * h.max()] = 0
+    return h
+
+
+def gen_hm_radius(heatmap: np.ndarray, center, radius: int, k: float = 1.0):
+    """Stamp a gaussian peak into heatmap [H, W] in place (reference :93-113)."""
+    diameter = 2 * radius + 1
+    gaussian = gaussian_2d((diameter, diameter), sigma=diameter / 6)
+    x, y = int(center[0]), int(center[1])
+    height, width = heatmap.shape[:2]
+    left, right = min(x, radius), min(width - x, radius + 1)
+    top, bottom = min(y, radius), min(height - y, radius + 1)
+    masked_heatmap = heatmap[y - top:y + bottom, x - left:x + right]
+    masked_gaussian = gaussian[radius - top:radius + bottom,
+                               radius - left:radius + right]
+    if min(masked_gaussian.shape) > 0 and min(masked_heatmap.shape) > 0:
+        np.maximum(masked_heatmap, masked_gaussian * k, out=masked_heatmap)
+    return heatmap
+
+
+# ---------------------------------------------------------------------------
+# device-side ops (jnp, NHWC)
+# ---------------------------------------------------------------------------
+
+def heatmap_nms(heat: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
+    """Keep only local maxima (3x3 max-pool trick, reference :122-127).
+    heat: [B, H, W, C]."""
+    pad = (kernel - 1) // 2
+    hmax = jax.lax.reduce_window(
+        heat, -jnp.inf, jax.lax.max, (1, kernel, kernel, 1), (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    return jnp.where(hmax == heat, heat, 0.0)
+
+
+def gather_feat(feat: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
+    """feat [B, HW, C], ind [B, K] -> [B, K, C] (reference _gather_feat :184)."""
+    return jnp.take_along_axis(feat, ind[..., None], axis=1)
+
+
+def transpose_and_gather_feat(feat: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
+    """feat [B, H, W, C], ind [B, K] flat y*W+x -> [B, K, C]
+    (reference :193-197; NHWC needs no transpose)."""
+    b, h, w, c = feat.shape
+    return gather_feat(feat.reshape(b, h * w, c), ind)
+
+
+def topk(scores: jnp.ndarray, k: int = 40):
+    """Per-class then global top-K peaks (reference _topk :199-216).
+
+    scores: [B, H, W, C]. Returns (score, flat_inds, cls, ys, xs) all [B, K].
+    """
+    b, h, w, c = scores.shape
+    per_class = scores.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    topk_scores, topk_inds = jax.lax.top_k(per_class, k)  # [B, C, K]
+    topk_ys = (topk_inds // w).astype(jnp.float32)
+    topk_xs = (topk_inds % w).astype(jnp.float32)
+
+    topk_score, topk_ind = jax.lax.top_k(topk_scores.reshape(b, c * k), k)  # [B, K]
+    topk_clses = (topk_ind // k).astype(jnp.int32)
+    flat = lambda x: jnp.take_along_axis(x.reshape(b, c * k), topk_ind, axis=1)
+    return (topk_score, flat(topk_inds), topk_clses,
+            flat(topk_ys), flat(topk_xs))
+
+
+def topk_channel(scores: jnp.ndarray, k: int = 40):
+    """Per-channel top-K (reference _topk_channel :218-228).
+    scores: [B, H, W, C] -> each [B, C, K]."""
+    b, h, w, c = scores.shape
+    per_class = scores.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    topk_scores, topk_inds = jax.lax.top_k(per_class, k)
+    topk_ys = (topk_inds // w).astype(jnp.float32)
+    topk_xs = (topk_inds % w).astype(jnp.float32)
+    return topk_scores, topk_inds, topk_ys, topk_xs
+
+
+# ---------------------------------------------------------------------------
+# rotation-bin losses (reference :9-50)
+# ---------------------------------------------------------------------------
+
+def _masked_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray,
+                          mask: jnp.ndarray) -> jnp.ndarray:
+    """CE over all rows with logits zeroed where mask == 0 — reproduces the
+    reference's compute_bin_loss exactly (masked rows contribute the constant
+    log(2) with zero gradient)."""
+    logits = logits * mask
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target[:, None], axis=-1)[:, 0]
+    return ce.mean()
+
+
+def _smooth_l1(x, y):
+    d = jnp.abs(x - y)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def compute_rot_loss(output: jnp.ndarray, target_bin: jnp.ndarray,
+                     target_res: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """output [*, 8] = [bin1_cls(2), bin1_sin, bin1_cos, bin2_cls(2),
+    bin2_sin, bin2_cos]; target_bin [*, 2]; target_res [*, 2]; mask [*, 1]."""
+    output = output.reshape(-1, 8)
+    target_bin = target_bin.reshape(-1, 2).astype(jnp.int32)
+    target_res = target_res.reshape(-1, 2)
+    mask = mask.reshape(-1, 1).astype(output.dtype)
+
+    loss_bin1 = _masked_cross_entropy(output[:, 0:2], target_bin[:, 0], mask)
+    loss_bin2 = _masked_cross_entropy(output[:, 4:6], target_bin[:, 1], mask)
+
+    def res_branch(sin_idx, cos_idx, bin_col):
+        sel = (target_bin[:, bin_col] != 0).astype(output.dtype)
+        denom = jnp.clip(sel.sum(), 1.0, None)
+        loss_sin = (_smooth_l1(output[:, sin_idx],
+                               jnp.sin(target_res[:, bin_col])) * sel).sum() / denom
+        loss_cos = (_smooth_l1(output[:, cos_idx],
+                               jnp.cos(target_res[:, bin_col])) * sel).sum() / denom
+        has_any = sel.sum() > 0
+        return jnp.where(has_any, loss_sin + loss_cos, 0.0)
+
+    loss_res = res_branch(2, 3, 0) + res_branch(6, 7, 1)
+    return loss_bin1 + loss_bin2 + loss_res
+
+
+# ---------------------------------------------------------------------------
+# depth decodes (reference :129-182)
+# ---------------------------------------------------------------------------
+
+def decode_depth_inv_sigmoid(depth: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp(-depth)
+
+
+def decode_depth_from_keypoints(keypoints: jnp.ndarray, dimensions: jnp.ndarray,
+                                calib: jnp.ndarray, down_ratio: int = 4,
+                                min_depth: float = 0.1, max_depth: float = 100.0,
+                                eps: float = 1e-8) -> jnp.ndarray:
+    """MonoFlex keypoint depths. keypoints [*, 10, 2]; dimensions [*, 3] whl;
+    calib [*, 3/4, 4] -> [*, 3] depths (center, diag-02 group, diag-13 group)."""
+    pred_h = jax.lax.stop_gradient(dimensions[..., 1])
+    center_height = keypoints[..., 8, 1] - keypoints[..., 9, 1]
+    corner_02 = keypoints[..., (7, 0), 1] - keypoints[..., (3, 4), 1]
+    corner_13 = keypoints[..., (2, 1), 1] - keypoints[..., (6, 5), 1]
+
+    f = calib[..., 0, 0]
+    center_depth = f * pred_h / (jax.nn.relu(center_height) * down_ratio + eps)
+    corner_02_depth = ((f * pred_h)[..., None] /
+                       (jax.nn.relu(corner_02) * down_ratio + eps)).mean(axis=-1)
+    corner_13_depth = ((f * pred_h)[..., None] /
+                       (jax.nn.relu(corner_13) * down_ratio + eps)).mean(axis=-1)
+    depths = jnp.stack([center_depth, corner_02_depth, corner_13_depth], axis=-1)
+    return jnp.clip(depths, min_depth, max_depth)
+
+
+# ---------------------------------------------------------------------------
+# least-squares 3D position solve (reference gen_position :314-455)
+# ---------------------------------------------------------------------------
+
+# per-row unit pattern of the 16x3 system: rows alternate (-1, 0) / (0, -1)
+_CONST = np.tile(np.array([[-1.0, 0.0], [0.0, -1.0]]), (8, 1))  # [16, 2]
+
+# corner order matches geometry.CORNER_MATRIX (the reference changed the
+# keypoint order to this repo-default projection order, :407-450):
+#   B[2i]   = _L_COS[i]*l/2*cos + _W_SIN[i]*w/2*sin
+#   B[2i+1] = _H_SIGN[i]*h/2
+#   C[2i] = C[2i+1] = _L_SIN[i]*l/2*sin + _W_COS[i]*w/2*cos
+_L_COS = np.array([-1, -1, -1, +1, +1, +1, +1, -1], np.float32)
+_H_SIGN = np.array([-1, -1, +1, +1, -1, -1, +1, +1], np.float32)
+_L_SIN = np.array([+1, +1, +1, -1, -1, -1, -1, +1], np.float32)
+_W_SIN = np.array([-1, +1, +1, +1, +1, -1, -1, -1], np.float32)
+_W_COS = np.array([-1, +1, +1, +1, +1, -1, -1, -1], np.float32)
+
+
+def decode_alpha_from_bins(rot: jnp.ndarray) -> jnp.ndarray:
+    """rot [*, 8] multibin -> alpha [*] (reference :381-386)."""
+    alpha_idx = (rot[..., 1] > rot[..., 5]).astype(rot.dtype)
+    alpha1 = jnp.arctan(rot[..., 2] / rot[..., 3]) - 0.5 * jnp.pi
+    alpha2 = jnp.arctan(rot[..., 6] / rot[..., 7]) + 0.5 * jnp.pi
+    return alpha1 * alpha_idx + alpha2 * (1 - alpha_idx)
+
+
+def gen_position(kps: jnp.ndarray, dim: jnp.ndarray, rot: jnp.ndarray,
+                 calib: jnp.ndarray):
+    """Solve each object's 3D center from its 9 projected keypoints.
+
+    Args:
+      kps: [B, K, 18] absolute keypoint image coords at input scale
+           ((x, y) x 9, last is the center).
+      dim: [B, K, 3] (w, h, l).
+      rot: [B, K, 8] multibin rotation output.
+      calib: [B, 3, 4].
+    Returns:
+      position [B, K, 3], rot_y [B, K, 1], alpha_pre [B, K, 1], kps (input).
+    """
+    b, k = kps.shape[0], kps.shape[1]
+    off_set = calib[:, 0, 3] / calib[:, 0, 0]  # [B]
+
+    si = jnp.broadcast_to(calib[:, None, 0:1, 0], (b, k, 1))[..., 0]  # f per obj
+
+    alpha_pre = decode_alpha_from_bins(rot)
+    rot_y = alpha_pre + jnp.arctan2(kps[:, :, 16] - calib[:, None, 0, 2], si)
+    rot_y = jnp.where(rot_y > jnp.pi, rot_y - 2 * jnp.pi, rot_y)
+    rot_y = jnp.where(rot_y < -jnp.pi, rot_y + 2 * jnp.pi, rot_y)
+
+    kpoint = kps[:, :, :16]
+    f = calib[:, None, 0, 0][..., None]
+    cx, cy = calib[:, None, 0, 2][..., None], calib[:, None, 1, 2][..., None]
+    cxy = jnp.tile(jnp.concatenate([cx, cy], axis=2), (1, 1, 8))
+    kp_norm = (kpoint - cxy) / f  # [B, K, 16]
+
+    w = dim[:, :, 0:1]
+    h = dim[:, :, 1:2]
+    l = dim[:, :, 2:3]
+    cosori = jnp.cos(rot_y)[..., None]
+    sinori = jnp.sin(rot_y)[..., None]
+
+    lc = 0.5 * l * cosori  # [B, K, 1]
+    ls = 0.5 * l * sinori
+    wc = 0.5 * w * cosori
+    ws = 0.5 * w * sinori
+    hh = 0.5 * h * jnp.ones_like(lc)
+
+    # B rows: x-part for even rows (pattern _L_COS*lc + _W_SIN*ws), y-part odd
+    bx = _L_COS[None, None, :] * lc + _W_SIN[None, None, :] * ws  # [B, K, 8]
+    by = _H_SIGN[None, None, :] * hh
+    b_vec = jnp.stack([bx, by], axis=-1).reshape(b, k, 16)
+
+    c_even = _L_SIN[None, None, :] * ls + _W_COS[None, None, :] * wc
+    c_vec = jnp.repeat(c_even, 2, axis=-1)  # [B, K, 16]
+
+    b_vec = b_vec - kp_norm * c_vec
+
+    const = jnp.asarray(_CONST, kps.dtype)
+    a_mat = jnp.concatenate(
+        [jnp.broadcast_to(const[None, None], (b, k, 16, 2)), kp_norm[..., None]],
+        axis=-1)  # [B, K, 16, 3]
+
+    at = jnp.swapaxes(a_mat, -1, -2)  # [B, K, 3, 16]
+    ata = at @ a_mat  # [B, K, 3, 3]
+    atb = at @ b_vec[..., None]  # [B, K, 3, 1]
+    # f32 + scaled jitter for stability (reference uses f64 + randn jitter)
+    jitter = 1e-5 * jnp.eye(3, dtype=ata.dtype)
+    position = jnp.linalg.solve(ata + jitter, atb)[..., 0]  # [B, K, 3]
+    position = position.at[:, :, 0].add(-off_set[:, None])
+    return position, rot_y[..., None], alpha_pre[..., None], kps
+
+
+def position_loss(output: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
+                  calib: jnp.ndarray, output_w: int):
+    """IoU3D-supervised position + confidence loss (reference Position_loss
+    :231-313). output maps are NHWC; batch carries the RTM3D targets."""
+    ind = batch['ind'].astype(jnp.int32)
+    dim = transpose_and_gather_feat(output['dim'], ind)
+    rot = jax.lax.stop_gradient(transpose_and_gather_feat(output['rot'], ind))
+    prob = transpose_and_gather_feat(output['prob'], ind)
+    kps = transpose_and_gather_feat(output['hps'], ind)
+
+    b, c = dim.shape[0], dim.shape[1]
+    mask = batch['hps_mask'].astype(jnp.float32)  # [B, C, 18]
+
+    cys = (ind // output_w).astype(jnp.float32)
+    cxs = (ind % output_w).astype(jnp.float32)
+    kps = kps.at[..., ::2].add(cxs[..., None])
+    kps = kps.at[..., 1::2].add(cys[..., None])
+
+    position, rot_y, alpha_pre, _ = gen_position(kps * 4, dim, rot, calib)
+
+    mask2 = jnp.sum(mask, axis=2)
+    loss_mask = (mask2 > 15).astype(jnp.float32)
+
+    dim_neg = dim < 0
+    dim = jnp.clip(dim, 0, 10)
+    dim_ok = 1.0 - (jnp.sum(dim_neg, axis=2) > 0).astype(jnp.float32)
+
+    diff = position - batch['location']
+    loss_norm = jnp.linalg.norm(diff, axis=2)
+    mask_num = jnp.sum(loss_mask != 0)
+    coor_loss = jnp.sum(loss_norm * loss_mask) / (mask_num + 1)
+
+    dim_gt = jnp.where(dim_neg, 0.0, batch['dim'])
+    box_pred = jax.lax.stop_gradient(
+        jnp.concatenate([position, dim, rot_y], axis=2)).reshape(b * c, 7)
+    gt_box = jnp.concatenate(
+        [batch['location'], dim_gt, batch['ori']], axis=2).reshape(b * c, 7)
+
+    # aligned-pair 3D IoU (the reference computes the NxN matrix on CUDA and
+    # takes the diagonal, :303-305; we solve each pair directly)
+    box_score = jax.vmap(
+        lambda a, g: boxes_iou3d(a[None], g[None])[0, 0])(box_pred, gt_box)
+    box_score = box_score.reshape(b, c)
+    prob = prob[..., 0]
+    box_score = box_score * loss_mask * dim_ok
+    target = jax.lax.stop_gradient(box_score)
+    loss_prob = (-(target * jax.nn.log_sigmoid(prob) +
+                   (1 - target) * jax.nn.log_sigmoid(-prob)))
+    loss_prob = loss_prob * loss_mask * dim_ok
+    loss_prob = jnp.sum(loss_prob) / (mask_num + 1)
+    box_score_mean = jnp.sum(box_score * loss_mask) / (mask_num + 1e-3)
+    return coor_loss, loss_prob, box_score_mean
