@@ -26,7 +26,9 @@ def main():
 
     image_hw = (288, 1280)
     batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 8
+    dtype = sys.argv[2] if len(sys.argv) > 2 else 'bfloat16'
     system = _build_system(image_hw)
+    system.cfg.inference_dtype = dtype
     variables = system.init(jax.random.PRNGKey(0), image_hw, batch_size=1)
     system.anchor_pack(image_hw)
 
@@ -72,6 +74,7 @@ def main():
         'vs_baseline': round(fps / 500.0, 4),
         'detail': {'batch': batch, 'image_hw': list(image_hw),
                    'p50_latency_ms_bs1': round(p50_ms, 2),
+                   'inference_dtype': dtype,
                    'backend': jax.default_backend()},
     }))
 

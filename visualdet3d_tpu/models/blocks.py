@@ -84,6 +84,29 @@ def anchor_flatten(x: jnp.ndarray, num_output_channel: int) -> jnp.ndarray:
     return x.reshape(b, -1, num_output_channel)
 
 
+class LinearDropoutReLU(nn.Module):
+    """Linear + Dropout + ReLU (reference blocks.py:82-95)."""
+    num_hiddens: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.num_hiddens)(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return nn.relu(x)
+
+
+def modified_smoothed_l1(deltas, targets, sigma: float = 3.0):
+    """Faster-RCNN style smoothed L1 (reference blocks.py:98-115,
+    ModifiedSmoothedL1)."""
+    sigma2 = sigma * sigma
+    diffs = deltas - targets
+    option1 = diffs * diffs * 0.5 * sigma2
+    option2 = jnp.abs(diffs) - 0.5 / sigma2
+    cond = (diffs < (1.0 / sigma2)).astype(deltas.dtype)
+    return option1 * cond + option2 * (1 - cond)
+
+
 class GhostModule(nn.Module):
     """GhostNet cheap-conv block (reference ghost_module.py:16-44)."""
     features: int
@@ -150,6 +173,21 @@ class CoordinateConv(nn.Module):
         coords = jnp.broadcast_to(jnp.stack([yy, xx], axis=-1)[None], (b, h, w, 2))
         x = jnp.concatenate([x, coords], axis=-1)
         return nn.Conv(self.features, self.kernel_size, padding='SAME')(x)
+
+
+class ResCoordinateConv(nn.Module):
+    """Residual CoordinateConv block (reference coordconv.py:53-68)."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = CoordinateConv(self.features, self.kernel_size)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9)(y)
+        y = nn.relu(y)
+        if x.shape[-1] == self.features:
+            y = y + x
+        return y
 
 
 class DisparityConv(nn.Module):

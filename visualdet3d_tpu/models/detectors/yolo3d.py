@@ -51,9 +51,22 @@ class Yolo3DNet(nn.Module):
         return cls_preds, reg_preds
 
 
+def cast_floating(tree, dtype):
+    """Cast floating-point leaves (params/images) to an inference dtype."""
+    import jax.numpy as _jnp
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, 'dtype') and _jnp.issubdtype(x.dtype, _jnp.floating) else x,
+        tree)
+
+
 class Yolo3DSystem:
     """Config-built detector system: holds the flax net, anchors + priors, and
-    exposes pure loss / decode functions for the pipelines to jit."""
+    exposes pure loss / decode functions for the pipelines to jit.
+
+    ``cfg.inference_dtype = 'bfloat16'`` runs the conv trunk in bf16 on the
+    MXU (decode/NMS stay f32) — ~2x inference throughput on TPU.
+    """
 
     ground_aware = False
 
@@ -136,7 +149,13 @@ class Yolo3DSystem:
         """
         image_hw = (images.shape[1], images.shape[2])
         pack = self.anchor_pack(image_hw)
+        dtype = self.cfg.get('inference_dtype', 'float32')
+        if dtype != 'float32':
+            variables = cast_floating(variables, dtype)
+            images = images.astype(dtype)
         cls_preds, reg_preds = self.net.apply(variables, images, P2, train=False)
+        cls_preds = cls_preds.astype(jnp.float32)
+        reg_preds = reg_preds.astype(jnp.float32)
         is_filtering = self.test_cfg.get(
             'filter_anchor', self.loss_cfg.get('filter_anchor', True))
         if is_filtering:

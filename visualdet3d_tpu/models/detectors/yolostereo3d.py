@@ -225,8 +225,16 @@ class Stereo3D(Yolo3DSystem):
                 max_detections: int = 32):
         image_hw = (left_images.shape[1], left_images.shape[2])
         pack = self.anchor_pack(image_hw)
+        dtype = self.cfg.get('inference_dtype', 'float32')
+        if dtype != 'float32':
+            from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
+            variables = cast_floating(variables, dtype)
+            left_images = left_images.astype(dtype)
+            right_images = right_images.astype(dtype)
         cls_preds, reg_preds, _ = self.net.apply(
             variables, left_images, right_images, P2, train=False)
+        cls_preds = cls_preds.astype(jnp.float32)
+        reg_preds = reg_preds.astype(jnp.float32)
         is_filtering = self.test_cfg.get(
             'filter_anchor', self.loss_cfg.get('filter_anchor', True))
         if is_filtering:

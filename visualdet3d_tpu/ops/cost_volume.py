@@ -60,9 +60,11 @@ def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
       every unrolled iteration's temporaries distinct stack slots (24 x
       ~1.3 MB), while the loop body's slots are reused.
     """
-    l = l_ref[:]  # [TR, W, C]
-    r = r_ref[:]
-    scale = jnp.asarray(1.0 / c, l.dtype)
+    # DMA in the input dtype (bf16 halves HBM traffic) but compute/rotate in
+    # f32 — Mosaic's dynamic rotate only supports 32-bit data
+    l = l_ref[:].astype(jnp.float32)  # [TR, W, C]
+    r = r_ref[:].astype(jnp.float32)
+    scale = jnp.asarray(1.0 / c, jnp.float32)
     tr, w, _ = l.shape
     w_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 1)
 
@@ -71,7 +73,7 @@ def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
         r_sh = pltpu.roll(r, shift=d, axis=1)
         col = jnp.sum(l * r_sh, axis=-1) * scale  # [TR, W]
         col = jnp.where(w_ids >= d, col, 0.0)
-        o_ref[d] = col
+        o_ref[d] = col.astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, num_disp, body, 0)
@@ -174,3 +176,26 @@ def concat_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int) -> jnp.n
             r_d = jnp.concatenate([zero, right[:, :, :w - d, :]], axis=2)
         vols.append(jnp.concatenate([l_d, r_d], axis=-1))
     return jnp.stack(vols, axis=1)  # [B, D, H, W, 2F]
+
+
+def double_correlation_volume(left: jnp.ndarray, right: jnp.ndarray,
+                              num_disp: int) -> jnp.ndarray:
+    """Correlation at integer + half-pixel shifts, concatenated on the
+    disparity axis -> [B, H, W, 2D].
+
+    reference: DoublePSMCosineModule (PSM_cost_volume.py:98-113): the second
+    volume correlates against the right features resampled half a pixel to
+    the left (grid_sample with a -1/W x-offset).
+    """
+    from visualdet3d_tpu.ops.sampling import grid_sample
+
+    b, h, w, c = left.shape
+    xs = jnp.linspace(-1.0, 1.0, w) - 1.0 / w
+    ys = jnp.linspace(-1.0, 1.0, h)
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    grid = jnp.broadcast_to(grid[None], (b, h, w, 2))
+    right_shifted = grid_sample(right, grid, padding_mode="zeros",
+                                align_corners=False)
+    cost1 = correlation_volume(left, right, num_disp)
+    cost2 = correlation_volume(left, right_shifted, num_disp)
+    return jnp.concatenate([cost1, cost2], axis=-1)
