@@ -118,3 +118,31 @@ def test_official_result_string():
     text = kitti_eval.get_official_eval_result(gts, dts, ['Car'])
     assert 'Car AP' in text
     assert 'bbox AP:' in text and '3d   AP:' in text and 'aos  AP:' in text
+
+
+def test_native_core_matches_python():
+    """The C++ evaluator core must reproduce the Python matcher exactly."""
+    from visualdet3d_tpu.evaluator.kitti_object import native as native_mod
+    lib = native_mod.load_library()
+    if lib is None:
+        import pytest
+        pytest.skip('native evaluator library not built')
+
+    gts, boxes = _many_single_gt_images(40)
+    dts = _perfect_dts(boxes)
+    for i in range(5):
+        dts[i] = annotation_from_label_lines([])
+    for i in range(5, 10):
+        fp = _car_line(50.0, 1.6, 60.0, 0.0, score=0.97)
+        dts[i] = annotation_from_label_lines([_car_line(*boxes[i], score=0.9), fp])
+
+    import unittest.mock as mock
+    ret_native = kitti_eval.eval_class(gts, dts, [0], [0, 1, 2], metric=2,
+                                       min_overlaps=OVERLAP, compute_aos=True)
+    with mock.patch.object(native_mod, 'load_library', return_value=None):
+        ret_python = kitti_eval.eval_class(gts, dts, [0], [0, 1, 2], metric=2,
+                                           min_overlaps=OVERLAP, compute_aos=True)
+    np.testing.assert_allclose(ret_native['precision'], ret_python['precision'],
+                               atol=1e-12)
+    np.testing.assert_allclose(ret_native['orientation'],
+                               ret_python['orientation'], atol=1e-12)

@@ -293,37 +293,56 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                           num_minoverlap, N_SAMPLE_PTS])
     aos = np.zeros_like(precision)
     all_overlaps = _per_image_overlaps(gt_annos, dt_annos, metric, z_axis, z_center)
+
+    from visualdet3d_tpu.evaluator.kitti_object.native import (PackedEvalData,
+                                                               load_library)
+    native_lib = load_library()
+
     for m, current_class in enumerate(current_classes):
         for l, difficulty in enumerate(difficultys):
             (gt_datas_list, dt_datas_list, ignored_gts, ignored_dets,
              dontcares, total_num_valid_gt) = _prepare_data(
                 gt_annos, dt_annos, current_class, difficulty)
+            packed = None
+            if native_lib is not None:
+                packed = PackedEvalData(all_overlaps, gt_datas_list,
+                                        dt_datas_list, ignored_gts,
+                                        ignored_dets, dontcares)
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
-                thresholdss = []
-                for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
-                        all_overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                        ignored_gts[i], ignored_dets[i], dontcares[i],
-                        metric, min_overlap=min_overlap, thresh=0.0,
-                        compute_fp=False)
-                    thresholdss += th.tolist()
+                if packed is not None:
+                    thresholdss = packed.collect_thresholds(
+                        native_lib, metric, float(min_overlap)).tolist()
+                else:
+                    thresholdss = []
+                    for i in range(len(gt_annos)):
+                        _, _, _, _, th = compute_statistics(
+                            all_overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                            ignored_gts[i], ignored_dets[i], dontcares[i],
+                            metric, min_overlap=min_overlap, thresh=0.0,
+                            compute_fp=False)
+                        thresholdss += th.tolist()
                 if total_num_valid_gt == 0:
                     continue
                 thresholds = np.array(get_thresholds(
                     np.array(thresholdss), total_num_valid_gt))
-                pr = np.zeros([len(thresholds), 4])
-                for i in range(len(gt_annos)):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, similarity, _ = compute_statistics(
-                            all_overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                            ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap=min_overlap, thresh=thresh,
-                            compute_fp=True, compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if similarity != -1:
-                            pr[t, 3] += similarity
+                if packed is not None:
+                    pr = packed.fused_statistics(native_lib, metric,
+                                                 float(min_overlap), thresholds,
+                                                 compute_aos)
+                else:
+                    pr = np.zeros([len(thresholds), 4])
+                    for i in range(len(gt_annos)):
+                        for t, thresh in enumerate(thresholds):
+                            tp, fp, fn, similarity, _ = compute_statistics(
+                                all_overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                                ignored_gts[i], ignored_dets[i], dontcares[i],
+                                metric, min_overlap=min_overlap, thresh=thresh,
+                                compute_fp=True, compute_aos=compute_aos)
+                            pr[t, 0] += tp
+                            pr[t, 1] += fp
+                            pr[t, 2] += fn
+                            if similarity != -1:
+                                pr[t, 3] += similarity
                 for i in range(len(thresholds)):
                     precision[m, l, k, i] = pr[i, 0] / max(pr[i, 0] + pr[i, 1], 1e-12)
                     if compute_aos:
