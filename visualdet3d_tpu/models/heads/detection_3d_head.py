@@ -134,7 +134,11 @@ def detection_3d_loss(cls_preds: jnp.ndarray,
         pos_mask = assignment['pos_mask']
         neg_mask = assignment['neg_mask']
 
-        gt_rows = ann[gt_index]  # [N, 12]
+        # gather each anchor's assigned GT row via a one-hot matmul (a 28k-row
+        # take_along_axis gather runs on the scalar core; [N, M] x [M, 12] is
+        # one tiny MXU contraction)
+        gt_onehot = jax.nn.one_hot(gt_index, ann.shape[0], dtype=ann.dtype)
+        gt_rows = gt_onehot @ ann  # [N, 12]
         gt_cls = gt_rows[:, 4].astype(jnp.int32)
         sel_mean_std = target_coding.select_mean_std_by_class(anchor_mean_std, gt_cls)
         prior_ok = sel_mean_std[:, 0, 0] > 0  # z-prior exists (head:311-313)

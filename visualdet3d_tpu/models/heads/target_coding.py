@@ -13,6 +13,7 @@ Annotation row layout (compound_annotation, utils/utils.py:97-118):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # fixed normalisation stds (reference detection_3d_head.py:229, :266)
@@ -127,11 +128,16 @@ def decode(anchors: jnp.ndarray, deltas: jnp.ndarray, mean_std: jnp.ndarray,
 
 def select_mean_std_by_class(anchor_mean_std: jnp.ndarray,
                              labels: jnp.ndarray) -> jnp.ndarray:
-    """Gather each anchor's prior for a class index.
+    """Select each anchor's prior for a class index.
 
     anchor_mean_std: [N, T, 6, 2]; labels: [N] int -> [N, 6, 2].
     (reference one-hot select, detection_3d_head.py:242-245.)
+
+    Implemented as a one-hot weighted sum rather than take_along_axis: a
+    28k-row gather runs on the TPU's scalar core (profiled ~ms), while the
+    [N, T] x [N, T, 12] contraction is trivial vector work (T <= #classes).
     """
-    labels = jnp.clip(labels, 0, anchor_mean_std.shape[1] - 1)
-    return jnp.take_along_axis(
-        anchor_mean_std, labels[:, None, None, None], axis=1)[:, 0]
+    t = anchor_mean_std.shape[1]
+    onehot = jax.nn.one_hot(jnp.clip(labels, 0, t - 1), t,
+                            dtype=anchor_mean_std.dtype)  # [N, T]
+    return jnp.einsum('nt,ntkc->nkc', onehot, anchor_mean_std)

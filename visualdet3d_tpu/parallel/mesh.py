@@ -63,9 +63,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, data_axis: str = 'data'):
-    """device_put every leaf with its batch dim sharded over the mesh."""
-    sharding = data_sharding(mesh, data_axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """device_put every leaf with its batch dim sharded over the mesh.
+
+    Leaves without a shardable leading dim (scalars like the rampup epoch,
+    or ragged extras) are replicated instead.
+    """
+    n = mesh.shape[data_axis]
+    batched = data_sharding(mesh, data_axis)
+    scalar = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x) if not hasattr(x, 'ndim') else x
+        if getattr(x, 'ndim', 0) >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, batched)
+        return jax.device_put(x, scalar)
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

@@ -114,8 +114,12 @@ def make_simple_train_step(system, tx: optax.GradientTransformation,
     def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             variables = {'params': params, 'batch_stats': state.batch_stats}
+            kwargs = {}
+            if 'epoch' in batch:  # rampup weighting (reference trainers.py:146)
+                kwargs['epoch'] = batch['epoch']
             (loss, loss_dict), new_state = system.loss(
-                variables, *[batch[k] for k in batch_keys], rng=rng, train=True)
+                variables, *[batch[k] for k in batch_keys], rng=rng, train=True,
+                **kwargs)
             return jnp.mean(loss), (loss_dict, new_state.get('batch_stats', state.batch_stats))
 
         (total, (loss_dict, new_bs)), grads = jax.value_and_grad(

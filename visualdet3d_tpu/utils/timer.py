@@ -53,8 +53,14 @@ class Timer:
     def avg(self) -> float:
         return self.total / max(self.count, 1)
 
+    def compute_avg_time(self, steps_done: int) -> str:
+        """Average wall time per step so far (reference timer.py API)."""
+        return formatting_time(self.elapsed() / max(steps_done, 1))
+
     def compute_eta(self, current_step: int, total_steps: int) -> str:
         remaining = max(total_steps - current_step, 0)
+        if self.count == 0:
+            return formatting_time(remaining * self.elapsed() / max(current_step, 1))
         return formatting_time(remaining * self.avg)
 
     def elapsed(self) -> float:
