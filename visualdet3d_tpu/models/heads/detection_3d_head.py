@@ -214,30 +214,48 @@ def get_bboxes(cls_preds: jnp.ndarray,
     """
     probs = jax.nn.sigmoid(cls_preds)
     cls_score = probs[:, :num_classes]
-    alpha_score = probs[:, num_classes:num_classes + 1]
 
     max_score = jnp.max(cls_score, axis=-1)
     label = jnp.argmax(cls_score, axis=-1)
-
     valid = useful_mask & (max_score > score_thr)
 
-    sel_mean_std = target_coding.select_mean_std_by_class(anchor_mean_std, label)
-    boxes, prior_ok = target_coding.decode(anchors, reg_preds, sel_mean_std, alpha_score)
-    valid = valid & prior_ok
+    # select the top pre_top_k candidates FIRST, decode only those: identical
+    # semantics (decode is per-anchor pure; score order is decode-invariant)
+    # but ~30x less decode work — the reference likewise decodes only
+    # thresholded anchors (head:354-371)
+    k = min(pre_top_k, cls_preds.shape[0])
+    neg_inf = jnp.finfo(max_score.dtype).min
+    masked_scores = jnp.where(valid, max_score, neg_inf)
+    top_scores, order = jax.lax.top_k(masked_scores, k)
+    cand_valid = top_scores > neg_inf
+
+    cand_anchors = anchors[order]
+    cand_reg = reg_preds[order]
+    cand_alpha = probs[order, num_classes:num_classes + 1]
+    cand_label = label[order]
+    cand_mean_std = anchor_mean_std[order]  # [K, T, 6, 2]
+
+    sel_mean_std = target_coding.select_mean_std_by_class(cand_mean_std, cand_label)
+    boxes, prior_ok = target_coding.decode(cand_anchors, cand_reg, sel_mean_std,
+                                           cand_alpha)
+    cand_valid = cand_valid & prior_ok
     boxes = clip_boxes(boxes, image_hw)
 
     nms_boxes = boxes[:, :4]
     if not cls_agnostic:
         max_coord = jnp.max(nms_boxes)
-        nms_boxes = nms_boxes + label.astype(nms_boxes.dtype)[:, None] * max_coord
+        nms_boxes = nms_boxes + cand_label.astype(nms_boxes.dtype)[:, None] * max_coord
 
-    keep_idx, keep_valid = nms(nms_boxes, max_score, nms_iou_thr,
-                               max_outputs=max_detections, pre_top_k=pre_top_k,
-                               valid_mask=valid)
-    safe_idx = jnp.clip(keep_idx, 0, None)
-    return (max_score[safe_idx] * keep_valid,
-            boxes[safe_idx],
-            label[safe_idx],
+    # candidates are already score-sorted: run suppression directly
+    from visualdet3d_tpu.ops.nms import _greedy_suppress
+    iou = calc_iou(nms_boxes, nms_boxes)
+    keep = _greedy_suppress(iou, cand_valid, nms_iou_thr)
+    kept_rank = jnp.where(keep, jnp.arange(k), k)
+    sel = jnp.argsort(kept_rank)[:max_detections]
+    keep_valid = keep[sel]
+    return (top_scores[sel] * keep_valid,
+            boxes[sel],
+            cand_label[sel],
             keep_valid)
 
 
