@@ -42,6 +42,8 @@ def main():
     parser.add_argument('--num_processes', type=int, default=None)
     parser.add_argument('--process_id', type=int, default=None)
     parser.add_argument('--max_objects', type=int, default=32)
+    parser.add_argument('--pretrained_backbone', default=None,
+                        help='converted torchvision backbone (msgpack)')
     args = parser.parse_args()
 
     from visualdet3d_tpu.parallel.mesh import initialize_distributed
@@ -93,6 +95,15 @@ def main():
         print(f'number of trained parameters of the model: {n_params:,}')
         if writer:
             writer.add_text('config', str(cfg))
+
+    if args.pretrained_backbone:
+        from visualdet3d_tpu.checkpoint import merge_pretrained_backbone
+        variables = merge_pretrained_backbone(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            args.pretrained_backbone)
+        state = state.replace(params=variables['params'],
+                              batch_stats=variables['batch_stats'])
+        print(f'warm-started backbone from {args.pretrained_backbone}')
 
     # mesh + sharding: params replicated, batch sharded over data axis
     mesh = mesh_lib.make_mesh()

@@ -57,3 +57,64 @@ def load_params(path: str, template: Any = None) -> Any:
     if template is not None:
         return ckptr.restore(os.path.abspath(path), target=template)
     return ckptr.restore(os.path.abspath(path))
+
+
+def merge_pretrained_backbone(variables, path: str):
+    """Warm-start the ResNet backbone subtree from a converted torchvision
+    checkpoint (tools/convert_torchvision.py output).
+
+    The analogue of the reference's pretrained-weights load
+    (scripts/train.py:90-93 + resnet.py:14-20 model-zoo URLs): locate the
+    backbone subtree (the dict containing 'conv1') anywhere in the model's
+    params/batch_stats and overwrite matching leaves.
+    """
+    from flax import serialization
+
+    with open(path, 'rb') as f:
+        pretrained = serialization.msgpack_restore(f.read())
+
+    def find_backbone(tree, trail=()):
+        if isinstance(tree, dict):
+            if 'conv1' in tree:
+                return trail
+            for k, v in tree.items():
+                hit = find_backbone(v, trail + (k,))
+                if hit is not None:
+                    return hit
+        return None
+
+    import copy
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    out = {k: dict(v) if isinstance(v, dict) else v for k, v in variables.items()}
+
+    def deep_merge(dst, src, where):
+        node = dst
+        for k in where[:-1]:
+            node[k] = dict(node[k])
+            node = node[k]
+        target = dict(node[where[-1]]) if where else dst
+
+        def merge(d, s):
+            for k, v in s.items():
+                if isinstance(v, dict) and isinstance(d.get(k), dict):
+                    d[k] = dict(d[k])
+                    merge(d[k], v)
+                elif k in d:
+                    assert d[k].shape == v.shape, (k, d[k].shape, v.shape)
+                    d[k] = v
+        merge(target, src)
+        if where:
+            node[where[-1]] = target
+        return dst
+
+    # locate the backbone via the params tree; batch_stats shares the same
+    # module hierarchy (it has no 'conv1' leaf of its own)
+    where = find_backbone(out.get('params', {}))
+    if where is None:
+        raise ValueError('no backbone subtree (conv1) found in params')
+    for collection in ('params', 'batch_stats'):
+        if collection not in pretrained or collection not in out:
+            continue
+        out[collection] = deep_merge(dict(out[collection]),
+                                     pretrained[collection], where)
+    return out
