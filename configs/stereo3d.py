@@ -93,7 +93,7 @@ detector.name = 'Stereo3D'
 detector.max_disparity = 96
 detector.backbone = edict(
     depth=34, pretrained=True, frozen_stages=-1, num_stages=3,
-    out_indices=(0, 1, 2), norm_eval=True, dilations=(1, 1, 1),
+    out_indices=(0, 1, 2), norm_eval=True, dilations=(1, 1, 1), s2d_stem=True,
 )
 head_loss = edict(
     fg_iou_threshold=0.5,

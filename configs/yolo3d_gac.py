@@ -92,7 +92,7 @@ detector.obj_types = cfg.obj_types
 detector.name = 'GroundAwareYolo3D'
 detector.backbone = edict(
     depth=101, pretrained=True, frozen_stages=-1, num_stages=3,
-    out_indices=(2,), norm_eval=False, dilations=(1, 1, 1),
+    out_indices=(2,), norm_eval=False, dilations=(1, 1, 1), s2d_stem=True,
 )
 head_loss = edict(
     fg_iou_threshold=0.5,

@@ -103,3 +103,24 @@ def test_data_parallel_train_step(system):
                                 batch_size=8)
     _, metrics1 = step(state1, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(2))
     np.testing.assert_allclose(total, float(metrics1['total']), rtol=2e-4)
+
+
+def test_s2d_stem_exactly_matches_7x7():
+    """The space-to-depth stem with the rearranged kernel reproduces the
+    7x7/s2 stem bit-for-bit (up to float assoc)."""
+    from flax.core import unfreeze
+    from visualdet3d_tpu.models.backbones.resnet import (ResNet,
+                                                         convert_stem_to_s2d)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 32, 64, 3)).astype(np.float32))
+    net7 = ResNet(depth=18, num_stages=1, out_indices=(0,))
+    v7 = unfreeze(net7.init(jax.random.PRNGKey(0), x, train=False))
+    net4 = ResNet(depth=18, num_stages=1, out_indices=(0,), s2d_stem=True)
+    v4 = unfreeze(net4.init(jax.random.PRNGKey(0), x, train=False))
+    v4['params'] = dict(v7['params'])
+    v4['params']['conv1'] = {
+        'kernel': jnp.asarray(convert_stem_to_s2d(v7['params']['conv1']['kernel']))}
+    v4['batch_stats'] = v7['batch_stats']
+    y7 = net7.apply(v7, x, train=False)[0]
+    y4 = net4.apply(v4, x, train=False)[0]
+    np.testing.assert_allclose(np.asarray(y7), np.asarray(y4), atol=1e-4)

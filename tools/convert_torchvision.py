@@ -18,7 +18,7 @@ import argparse
 import numpy as np
 
 
-def convert(state_dict, depth: int):
+def convert(state_dict, depth: int, s2d: bool = False):
     """torch state_dict (numpy-converted) -> nested flax param/batch_stats."""
     from visualdet3d_tpu.models.backbones.resnet import RESNET_SPECS
     block_type, stage_blocks = RESNET_SPECS[depth]
@@ -45,7 +45,11 @@ def convert(state_dict, depth: int):
         )
 
     # stem: conv1 + bn1 -> conv1 + BatchNorm_0
-    put(params, ('conv1',), conv('conv1'))
+    stem = conv('conv1')
+    if s2d:
+        from visualdet3d_tpu.models.backbones.resnet import convert_stem_to_s2d
+        stem = {'kernel': convert_stem_to_s2d(stem['kernel'])}
+    put(params, ('conv1',), stem)
     p, s = bn('bn1')
     put(params, ('BatchNorm_0',), p)
     put(batch_stats, ('BatchNorm_0',), s)
@@ -77,6 +81,8 @@ def main():
     parser.add_argument('--pth', required=True)
     parser.add_argument('--depth', type=int, default=34)
     parser.add_argument('--out', required=True)
+    parser.add_argument('--s2d', action='store_true',
+                        help='rearrange the stem for s2d_stem backbones')
     args = parser.parse_args()
 
     import torch
@@ -84,7 +90,7 @@ def main():
 
     sd = torch.load(args.pth, map_location='cpu')
     sd = {k: v.numpy() for k, v in sd.items() if 'fc.' not in k}
-    variables = convert(sd, args.depth)
+    variables = convert(sd, args.depth, s2d=args.s2d)
     with open(args.out, 'wb') as f:
         f.write(serialization.to_bytes(variables))
     print(f'wrote flax variables to {args.out}')

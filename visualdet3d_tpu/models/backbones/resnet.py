@@ -102,6 +102,7 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     norm_eval: bool = False
     pretrained: bool = True  # kept for config parity; loading is external
+    s2d_stem: bool = False  # space-to-depth stem (TPU MXU utilisation)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -109,8 +110,20 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if block_type == 'basic' else Bottleneck
         stage_blocks = stage_blocks[:self.num_stages]
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name='conv1')(x)
+        if self.s2d_stem:
+            # A 7x7/s2 conv on 3 channels uses 3/128 of the MXU's contraction
+            # lanes. Space-to-depth by 2 turns it into an exactly-equivalent
+            # (slightly more expressive: 4x4x12 >= padded 7x7x3) 4x4/s1 conv
+            # on 12 channels — ~4x stem throughput. Pretrained 7x7 kernels
+            # convert losslessly (tools/convert_torchvision.py --s2d).
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            x = nn.Conv(64, (4, 4), strides=(1, 1), padding=[(2, 1), (2, 1)],
+                        use_bias=False, name='conv1')(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, name='conv1')(x)
         x = _bn(train, self.norm_eval)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -138,6 +151,33 @@ class ResNet(nn.Module):
         return outs
 
 
+def convert_stem_to_s2d(w7: 'jnp.ndarray'):
+    """Losslessly rearrange a [7, 7, C, O] stride-2 stem kernel into the
+    equivalent [4, 4, 4C, O] space-to-depth kernel.
+
+    Derivation: y[i] = sum_a w7[a] x[2i + a - 3]; with 2x2 blocks
+    t[u, (p, c)] = x[2u + p], tap (dj, p) reads a = 2*dj + p - 1
+    (dj in 0..3 maps to block offset dj - 2 under padding (2, 1)).
+    """
+    import numpy as np
+    w7 = np.asarray(w7)
+    kh, kw, c, o = w7.shape
+    assert (kh, kw) == (7, 7)
+    w4 = np.zeros((4, 4, 4 * c, o), w7.dtype)
+    for dj in range(4):
+        for p in range(2):
+            a = 2 * dj + p - 1
+            if not 0 <= a < 7:
+                continue
+            for dk in range(4):
+                for q in range(2):
+                    b = 2 * dk + q - 1
+                    if not 0 <= b < 7:
+                        continue
+                    w4[dj, dk, (p * 2 + q) * c:(p * 2 + q + 1) * c] = w7[a, b]
+    return w4
+
+
 @BACKBONE_DICT.register_module
 def resnet(**kwargs) -> ResNet:
     """Factory matching the reference's keyword API (resnet.py:255-270)."""
@@ -145,7 +185,7 @@ def resnet(**kwargs) -> ResNet:
     num_stages = kwargs.get('num_stages', 4)
     kwargs.setdefault('dilations', tuple([1] * num_stages))
     valid = {'depth', 'num_stages', 'out_indices', 'frozen_stages',
-             'dilations', 'norm_eval'}
+             'dilations', 'norm_eval', 's2d_stem'}
     kwargs = {k: v for k, v in kwargs.items() if k in valid}
     if 'out_indices' in kwargs:
         kwargs['out_indices'] = tuple(kwargs['out_indices'])

@@ -49,7 +49,7 @@ def stereo3d_detector_cfg(preprocessed_path: str, obj_types=('Car', 'Pedestrian'
         name='Stereo3D',
         backbone=edict(depth=depth, pretrained=False, frozen_stages=-1,
                        num_stages=3, out_indices=(0, 1, 2), norm_eval=True,
-                       dilations=(1, 1, 1)),
+                       dilations=(1, 1, 1), s2d_stem=True),
         head=edict(
             num_regression_loss_terms=13,
             preprocessed_path=preprocessed_path,
@@ -91,7 +91,7 @@ def gac_detector_cfg(preprocessed_path: str, obj_types=('Car',),
         name='GroundAwareYolo3D',
         backbone=edict(depth=depth, pretrained=False, frozen_stages=-1,
                        num_stages=3, out_indices=(2,), norm_eval=False,
-                       dilations=(1, 1, 1)),
+                       dilations=(1, 1, 1), s2d_stem=True),
         head=edict(
             num_regression_loss_terms=13,
             preprocessed_path=preprocessed_path,
