@@ -31,6 +31,12 @@ def main():
     system.cfg.inference_dtype = dtype
     variables = system.init(jax.random.PRNGKey(0), image_hw, batch_size=1)
     system.anchor_pack(image_hw)
+    if dtype != 'float32':
+        # cast weights ONCE outside jit: otherwise every forward streams the
+        # f32 params from HBM and casts on device (profiled: multi-ms
+        # copy-start ops per conv weight)
+        from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
+        variables = jax.device_put(cast_floating(variables, dtype))
 
     @jax.jit
     def forward(variables, left, right, P2):
