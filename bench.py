@@ -44,32 +44,40 @@ def main():
         return out['scores'], out['bboxes'], out['labels'], out['valid']
 
     rng = np.random.default_rng(0)
-    left = jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32))
-    right = jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32))
     P2 = jnp.asarray(np.tile(np.array([
         [721.5377, 0.0, 609.5593, 44.85728],
         [0.0, 721.5377, 72.854, 0.2163791],
         [0.0, 0.0, 1.0, 0.002745884],
     ], np.float32), (batch, 1, 1)))
+    # DISTINCT input buffers per step: the execution relay caches repeated
+    # (executable, inputs) pairs, so looping one batch measures the cache
+    n_sets = 6
+    sets = [(jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32)),
+             jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32)))
+            for _ in range(n_sets)]
 
     # warmup / compile
-    jax.block_until_ready(forward(variables, left, right, P2))
+    jax.block_until_ready(forward(variables, sets[0][0], sets[0][1], P2))
 
-    iters = 20
+    iters = 24
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, left, right, P2)
-    jax.block_until_ready(out)
+    outs = []
+    for i in range(iters):
+        l, r = sets[i % n_sets]
+        outs.append(forward(variables, l, r, P2))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 
-    # p50 latency at batch 1
-    left1, right1, P21 = left[:1], right[:1], P2[:1]
-    jax.block_until_ready(forward(variables, left1, right1, P21))
+    # p50 latency at batch 1 (distinct inputs per call)
+    P21 = P2[:1]
+    ones = [(l[:1] + i * 1e-3, r[:1]) for i, (l, r) in enumerate(sets)]
+    jax.block_until_ready(forward(variables, ones[0][0], ones[0][1], P21))
     lats = []
-    for _ in range(10):
+    for i in range(12):
+        l1, r1 = ones[i % n_sets]
         t = time.perf_counter()
-        jax.block_until_ready(forward(variables, left1, right1, P21))
+        jax.block_until_ready(forward(variables, l1, r1, P21))
         lats.append(time.perf_counter() - t)
     p50_ms = float(np.median(lats) * 1000)
 

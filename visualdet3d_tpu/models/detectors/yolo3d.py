@@ -154,8 +154,10 @@ class Yolo3DSystem:
             variables = cast_floating(variables, dtype)
             images = images.astype(dtype)
         cls_preds, reg_preds = self.net.apply(variables, images, P2, train=False)
+        # scores in f32 (cheap, C+1 channels); regressions stay bf16 until the
+        # top-K candidate gather inside get_bboxes (avoids a full-tensor
+        # f32 copy+relayout of [B, N, 12], profiled ~1.7 ms)
         cls_preds = cls_preds.astype(jnp.float32)
-        reg_preds = reg_preds.astype(jnp.float32)
         is_filtering = self.test_cfg.get(
             'filter_anchor', self.loss_cfg.get('filter_anchor', True))
         if is_filtering:

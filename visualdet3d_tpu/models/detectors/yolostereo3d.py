@@ -234,7 +234,6 @@ class Stereo3D(Yolo3DSystem):
         cls_preds, reg_preds, _ = self.net.apply(
             variables, left_images, right_images, P2, train=False)
         cls_preds = cls_preds.astype(jnp.float32)
-        reg_preds = reg_preds.astype(jnp.float32)
         is_filtering = self.test_cfg.get(
             'filter_anchor', self.loss_cfg.get('filter_anchor', True))
         if is_filtering:

@@ -230,7 +230,7 @@ def get_bboxes(cls_preds: jnp.ndarray,
     cand_valid = top_scores > neg_inf
 
     cand_anchors = anchors[order]
-    cand_reg = reg_preds[order]
+    cand_reg = reg_preds[order].astype(jnp.float32)  # bf16 preds cast here
     cand_alpha = probs[order, num_classes:num_classes + 1]
     cand_label = label[order]
     cand_mean_std = anchor_mean_std[order]  # [K, T, 6, 2]

@@ -109,6 +109,28 @@ def laplace_disp_probability(gt_disp: jnp.ndarray, num_disp: int,
     return prob, mask
 
 
+def gaussian_disp_probability(gt_disp: jnp.ndarray, num_disp: int,
+                              variance: float = 1.0):
+    """Gaussian variant of the GT probability volume
+    (reference disp2prob.py:116-128, GaussianDisp2Prob)."""
+    index = jnp.arange(num_disp, dtype=gt_disp.dtype)
+    mask = (gt_disp > 0) & (gt_disp < num_disp - 1)
+    gt = jnp.where(mask, gt_disp, 0.0)
+    scaled = -((index - gt[..., None]) ** 2) / variance
+    prob = jax.nn.softmax(scaled, axis=-1)
+    return prob * mask[..., None] + 1e-40, mask
+
+
+def onehot_disp_probability(gt_disp: jnp.ndarray, num_disp: int,
+                            variance: float = 1.0):
+    """One-hot (within |d - gt| < variance) variant
+    (reference disp2prob.py:130-142, OneHotDisp2Prob)."""
+    index = jnp.arange(num_disp, dtype=gt_disp.dtype)
+    mask = (gt_disp > 0) & (gt_disp < num_disp - 1)
+    prob = (jnp.abs(index - gt_disp[..., None]) < variance).astype(gt_disp.dtype)
+    return prob, mask
+
+
 def _downscale_disparity(gt_disp: jnp.ndarray, out_hw, sparse: bool) -> jnp.ndarray:
     """Downscale a [B, H, W] disparity map to out_hw, dividing values by the
     width ratio; sparse GT uses max-pooling (stereo_focal_loss.py:37-42)."""

@@ -139,13 +139,22 @@ _correlation_volume_tpu.defvjp(_corr_tpu_fwd, _corr_tpu_bwd)
 
 def correlation_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int,
                        use_pallas: bool | None = None) -> jnp.ndarray:
-    """PSM cosine (correlation) cost volume; picks the fused kernel on TPU.
+    """PSM cosine (correlation) cost volume.
 
     Differentiable either way: the Pallas path carries a custom VJP whose
     backward is the XLA formulation.
+
+    Implementation choice (profiled on v5e): the Pallas kernel's raw compute
+    is fast, but as a custom call it pins its operands to the standard
+    layout, forcing a multi-ms relayout copy of the conv-output features
+    (XLA prefers batch-minor layouts for them). The XLA formulation is
+    layout-agnostic and fuses into the producers, so it is the default
+    in-model; set VD3D_CORR_IMPL=pallas to force the kernel.
     """
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        import os
+        impl = os.environ.get('VD3D_CORR_IMPL', 'xla')
+        use_pallas = impl == 'pallas' and _on_tpu()
     if use_pallas:
         return _correlation_volume_tpu(left, right, num_disp)
     return correlation_volume_xla(left, right, num_disp)
