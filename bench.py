@@ -25,7 +25,7 @@ def main():
     from __graft_entry__ import _build_system
 
     image_hw = (288, 1280)
-    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 8
+    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 16
     dtype = sys.argv[2] if len(sys.argv) > 2 else 'bfloat16'
     system = _build_system(image_hw)
     system.cfg.inference_dtype = dtype

@@ -51,7 +51,9 @@ def test_one(cfg, index, dataset, variables, test_fn, result_path,
     collated = dataset.collate_fn([data])
     scores, bbox, obj_names = test_fn(variables, collated)
     scores = np.asarray(scores)
-    bbox = np.asarray(bbox).reshape(len(scores), -1)
+    bbox = np.asarray(bbox)
+    if bbox.ndim == 1:  # zero-detection frames keep an explicit [0, C] shape
+        bbox = bbox.reshape(len(scores), 11 if bbox.size == 0 else -1)
     bbox_2d = bbox[:, 0:4]
     if bbox.shape[1] > 4:
         bbox_3d_state = bbox[:, 4:]  # [cx, cy, z, w, h, l, alpha]
