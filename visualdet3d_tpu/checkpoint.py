@@ -83,7 +83,6 @@ def merge_pretrained_backbone(variables, path: str):
                     return hit
         return None
 
-    import copy
     variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
     out = {k: dict(v) if isinstance(v, dict) else v for k, v in variables.items()}
 

@@ -12,7 +12,6 @@ is an offline metric, not a hot path.
 from __future__ import annotations
 
 import io as sysio
-from typing import Dict, List
 
 import numpy as np
 

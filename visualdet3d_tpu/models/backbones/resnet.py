@@ -14,10 +14,9 @@ fetchable here: zero egress).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from visualdet3d_tpu.registry import BACKBONE_DICT

@@ -12,7 +12,7 @@ TPU-first equivalents of the reference library blocks:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

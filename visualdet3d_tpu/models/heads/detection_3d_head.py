@@ -20,7 +20,7 @@ Head variants (reg-branch differences):
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,6 @@ from visualdet3d_tpu.models.heads.losses import (
     modified_smooth_l1,
     sigmoid_focal_loss,
 )
-from visualdet3d_tpu.ops.nms import nms
 
 
 # ---------------------------------------------------------------------------

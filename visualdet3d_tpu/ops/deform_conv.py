@@ -14,8 +14,6 @@ Layouts: NHWC activations, HWIO weights (TPU-native conv layouts).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

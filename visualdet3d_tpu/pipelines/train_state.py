@@ -10,8 +10,7 @@ becomes a where-mask over the parameter update (keeps the step jittable).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ same chain.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 import optax
