@@ -106,3 +106,37 @@ def test_bf16_inference_path(system):
     assert np.all(np.isfinite(np.asarray(out16['bboxes'])))
     # same static shapes, scores within bf16 tolerance of f32
     assert out16['scores'].shape == out32['scores'].shape
+
+
+def test_stereo_data_parallel_step(system):
+    """Flagship DP: stereo train step over an 8-device mesh with the batch
+    (incl. nested disparity) sharded on the data axis."""
+    from visualdet3d_tpu.parallel import mesh as mesh_lib
+    devices = jax.devices()
+    assert len(devices) >= 8
+    m = mesh_lib.make_mesh(devices[:8])
+
+    tx = build_optimizer(
+        edict(type_name='adam', keywords=edict(lr=1e-4), clipped_gradient_norm=0.1))
+    state = create_train_state(system, jax.random.PRNGKey(0), IMAGE_HW,
+                               tx, batch_size=8)
+    state = mesh_lib.replicate(m, state)
+
+    nprng = np.random.default_rng(7)
+    disparity = np.abs(nprng.standard_normal(
+        (8, IMAGE_HW[0] // 4, IMAGE_HW[1] // 4))).astype(np.float32) * 5
+    batch = dict(
+        left_images=nprng.standard_normal((8, *IMAGE_HW, 3)).astype(np.float32),
+        right_images=nprng.standard_normal((8, *IMAGE_HW, 3)).astype(np.float32),
+        P2=sample_P(8),
+        P3=sample_P(8, tx=-120.0),
+        annotations=random_annotations(nprng, 8, num_classes=2, image_hw=IMAGE_HW),
+        disparity=disparity,
+    )
+    sharded = mesh_lib.shard_batch(m, batch)
+    for leaf in jax.tree.leaves(sharded):
+        assert len(leaf.sharding.device_set) == 8
+
+    step = make_stereo_train_step(system, tx, donate=False)
+    new_state, metrics = step(state, sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics['total'])) and float(metrics['total']) > 0
