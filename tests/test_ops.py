@@ -166,6 +166,41 @@ def test_modulated_deform_conv_integer_shift():
                                np.asarray(ref)[:, 1:-1, 1:-2], atol=1e-4)
 
 
+def test_modulated_deform_conv_matches_reference_formulation():
+    """Fast pair-gather formulation == naive per-corner formulation, for
+    fractional / far-out-of-image offsets, strides, dilations, and grads."""
+    from visualdet3d_tpu.ops.deform_conv import modulated_deform_conv_reference
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 10, 14, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 5)).astype(np.float32) * 0.1)
+    msk = jnp.asarray(rng.uniform(0, 1, (2, 10, 14, 9)).astype(np.float32))
+    for scale in (0.7, 3.0, 30.0):
+        off = jnp.asarray(
+            rng.uniform(-scale, scale, (2, 10, 14, 18)).astype(np.float32))
+        ref = np.asarray(modulated_deform_conv_reference(x, off, msk, w))
+        got = np.asarray(modulated_deform_conv(x, off, msk, w))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+    # stride 2
+    off2 = jnp.asarray(rng.uniform(-2, 2, (2, 5, 7, 18)).astype(np.float32))
+    msk2 = jnp.asarray(rng.uniform(0, 1, (2, 5, 7, 9)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(modulated_deform_conv(x, off2, msk2, w, stride=2)),
+        np.asarray(modulated_deform_conv_reference(x, off2, msk2, w, stride=2)),
+        atol=2e-5)
+    # dilation 2
+    off3 = jnp.asarray(rng.uniform(-2, 2, (2, 10, 14, 18)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(modulated_deform_conv(x, off3, msk, w, padding=2, dilation=2)),
+        np.asarray(modulated_deform_conv_reference(x, off3, msk, w, padding=2,
+                                                   dilation=2)),
+        atol=2e-5)
+    # offset gradients agree (bilinear corner-weight derivative path)
+    g_fast = jax.grad(lambda o: jnp.sum(modulated_deform_conv(x, o, msk, w) ** 2))(off3)
+    g_ref = jax.grad(lambda o: jnp.sum(
+        modulated_deform_conv_reference(x, o, msk, w) ** 2))(off3)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=2e-4)
+
+
 def test_modulated_deform_conv_is_differentiable():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((1, 5, 5, 2)).astype(np.float32))
