@@ -12,6 +12,7 @@ GTX 1080Ti). vs_baseline = fps / 500.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -59,15 +60,15 @@ def main():
     # warmup / compile
     jax.block_until_ready(forward(variables, sets[0][0], sets[0][1], P2))
 
-    iters = 24
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        l, r = sets[i % n_sets]
-        outs.append(forward(variables, l, r, P2))
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    fps = batch * iters / dt
+    # fps from PROFILER device time: wall-clock loops can be cached or
+    # elided by the axon execution relay (CLAUDE.md "Benchmarking on the
+    # axon relay"); per-module device time is immune to every relay trick.
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tools'))
+    from tpu_time import device_ms
+    argsets = [(variables, l, r, P2) for l, r in sets]
+    ms_device = device_ms(forward, argsets, iters=12)
+    fps = batch / ms_device * 1000
 
     # p50 latency at batch 1 (distinct inputs per call)
     P21 = P2[:1]
@@ -87,6 +88,7 @@ def main():
         'unit': 'frames/s',
         'vs_baseline': round(fps / 500.0, 4),
         'detail': {'batch': batch, 'image_hw': list(image_hw),
+                   'device_ms_per_batch': round(ms_device, 2),
                    'p50_latency_ms_bs1': round(p50_ms, 2),
                    'inference_dtype': dtype,
                    'backend': jax.default_backend()},

@@ -154,3 +154,35 @@ def test_km3d_monoflex_loss_and_predict(name):
     out = system.predict(variables, images, P2b, max_detections=8)
     assert out['scores'].shape == (1, 8)
     assert out['bboxes'].shape == (1, 8, 11)
+
+
+@pytest.mark.parametrize('name', ['KM3D', 'MonoFlex'])
+def test_km3d_monoflex_batched_predict_matches_single(name):
+    """vmapped batch>1 decode must equal per-image batch-1 decodes."""
+    cfg = _km3d_cfg(name)
+    system = DETECTOR_DICT[name](cfg)
+    image_hw = (64, 160)
+    variables = system.init(jax.random.PRNGKey(0), image_hw)
+
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.standard_normal((2, *image_hw, 3)).astype(np.float32))
+    P2b = jnp.asarray(np.stack([P2, P2]))
+
+    batched = system.predict(variables, images, P2b, max_detections=8)
+    assert batched['scores'].shape == (2, 8)
+    assert batched['bboxes'].shape == (2, 8, 11)
+    for i in range(2):
+        single = system.predict(variables, images[i:i + 1], P2b[i:i + 1],
+                                max_detections=8)
+        np.testing.assert_allclose(np.asarray(batched['scores'][i]),
+                                   np.asarray(single['scores'][0]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(batched['labels'][i]),
+                                      np.asarray(single['labels'][0]))
+        bb, sb = np.asarray(batched['bboxes'][i]), np.asarray(single['bboxes'][0])
+        # columns 4:7 (cx3d, cy3d, z3d) come from the least-squares position
+        # solve; with an UNTRAINED net z is ~1e-5, so f32 ULP differences in
+        # the batched matmuls blow up through the /z projection. Well-
+        # conditioned solve exactness is covered by
+        # test_gen_position_recovers_3d_location; here check the plumbing.
+        np.testing.assert_allclose(bb[:, :4], sb[:, :4], atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(bb[:, 7:], sb[:, 7:], atol=1e-4, rtol=1e-4)

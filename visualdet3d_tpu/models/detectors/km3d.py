@@ -106,17 +106,25 @@ class KM3D:
     def predict(self, variables, images, P2, max_detections: int = 32):
         output = self.net.apply(variables, images, train=False)
         image_hw = (images.shape[1], images.shape[2])
-        # heatmap decode operates on stride-4 maps; P2 passed at input scale
-        out = self.decode_fn(
-            output, P2, image_hw,
+        kwargs = dict(
             score_thr=self.test_cfg.get('score_thr', 0.1),
             nms_iou_thr=self.test_cfg.get('nms_iou_thr', 0.5),
             top_k=self.test_cfg.get('top_k', 100),
             max_detections=max_detections,
             cls_agnostic=self.test_cfg.get('cls_agnositc', True))
-        for k in ('scores', 'bboxes', 'labels', 'valid'):
-            out[k] = out[k][None]  # add batch dim for the tester protocol
-        return out
+        # heatmap decode operates on stride-4 maps; P2 passed at input scale.
+        # The decoders are single-image (reference test_mono_detection runs
+        # batch 1); vmap them for batched inference.
+        if images.shape[0] == 1:
+            out = self.decode_fn(output, P2, image_hw, **kwargs)
+            for k in ('scores', 'bboxes', 'labels', 'valid'):
+                out[k] = out[k][None]  # add batch dim for the tester protocol
+            return out
+        return jax.vmap(
+            lambda out_i, p_i: self.decode_fn(
+                {k: v[None] for k, v in out_i.items()}, p_i[None],
+                image_hw, **kwargs)
+        )(output, P2)
 
 
 @DETECTOR_DICT.register_module

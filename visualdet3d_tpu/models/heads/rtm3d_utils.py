@@ -207,6 +207,31 @@ def decode_depth_from_keypoints(keypoints: jnp.ndarray, dimensions: jnp.ndarray,
 # least-squares 3D position solve (reference gen_position :314-455)
 # ---------------------------------------------------------------------------
 
+def _solve3x3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Solve m @ x = v for batched 3x3 m ([..., 3, 3]) via the adjugate.
+
+    Elementwise arithmetic only: no LU pivoting, so results do not change
+    under vmap/batching, and no linalg custom call on TPU.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv_det = 1.0 / det
+    x0 = (c00 * v[..., 0] + c01 * v[..., 1] + c02 * v[..., 2]) * inv_det
+    x1 = (c10 * v[..., 0] + c11 * v[..., 1] + c12 * v[..., 2]) * inv_det
+    x2 = (c20 * v[..., 0] + c21 * v[..., 1] + c22 * v[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
 # per-row unit pattern of the 16x3 system: rows alternate (-1, 0) / (0, -1)
 _CONST = np.tile(np.array([[-1.0, 0.0], [0.0, -1.0]]), (8, 1))  # [16, 2]
 
@@ -289,9 +314,13 @@ def gen_position(kps: jnp.ndarray, dim: jnp.ndarray, rot: jnp.ndarray,
     at = jnp.swapaxes(a_mat, -1, -2)  # [B, K, 3, 16]
     ata = at @ a_mat  # [B, K, 3, 3]
     atb = at @ b_vec[..., None]  # [B, K, 3, 1]
-    # f32 + scaled jitter for stability (reference uses f64 + randn jitter)
-    jitter = 1e-5 * jnp.eye(3, dtype=ata.dtype)
-    position = jnp.linalg.solve(ata + jitter, atb)[..., 0]  # [B, K, 3]
+    # f32 + scaled jitter for stability (reference uses f64 + randn jitter).
+    # Closed-form adjugate solve instead of jnp.linalg.solve: the reference
+    # inverts the normal matrix explicitly (:439-448), it avoids TPU LU
+    # custom calls, and — unlike LU — its results are bitwise identical
+    # under vmap (batched predict == per-image predict).
+    m = ata + 1e-5 * jnp.eye(3, dtype=ata.dtype)
+    position = _solve3x3(m, atb[..., 0])  # [B, K, 3]
     position = position.at[:, :, 0].add(-off_set[:, None])
     return position, rot_y[..., None], alpha_pre[..., None], kps
 
