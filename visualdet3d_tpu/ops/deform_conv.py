@@ -51,6 +51,18 @@ def _tap_coords(offset, ho, wo, kh, kw, stride, padding, dilation, dtype):
     return py, px
 
 
+def _raw_gather_pairs(src: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    """[B, R, Ck], [B, N, 1] -> [B, N, 2, Ck] row-pair gather, any dtype."""
+    cols = src.shape[-1]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    return jax.vmap(
+        lambda s, i: jax.lax.gather(
+            s, i, dnums, slice_sizes=(2, cols),
+            mode=jax.lax.GatherScatterMode.CLIP)
+    )(src, start)
+
+
 @jax.custom_vjp
 def _gather_pairs(src: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     """Batched gather of [2, 2C] corner blocks: [B,R,2C],[B,N,1] -> [B,N,2,2C].
@@ -58,16 +70,9 @@ def _gather_pairs(src: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     custom_vjp because the natural transpose (scatter-add of overlapping
     2-row slices) makes XLA emit a fully serialized scatter (~4 s at the
     DLA-neck shape); scattering the two rows separately as height-1 slices
-    keeps the fast row-scatter path (~25 ms).
+    keeps the fast row-scatter path.
     """
-    c2 = src.shape[-1]
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-    return jax.vmap(
-        lambda s, i: jax.lax.gather(
-            s, i, dnums, slice_sizes=(2, c2),
-            mode=jax.lax.GatherScatterMode.CLIP)
-    )(src, start)
+    return _raw_gather_pairs(src, start)
 
 
 def _gather_pairs_fwd(src, start):
@@ -138,6 +143,10 @@ def modulated_deform_conv(x: jnp.ndarray,
 
     g = _gather_pairs(src, start)                          # [B, N*K, 2, 2C]
 
+    # two sequential lerps in the gather's flat layout: XLA fuses them INTO
+    # the (scalar-core-bound) gather fusion, so they cost ~nothing. A 6-D
+    # corner einsum — or any layout-changing consumer — breaks that fusion
+    # and adds multi-ms copies.
     n = ho * wo * k
     fxf = fx.reshape(b, n, 1)
     fyf = (fy * mask).reshape(b, n, 1)    # modulation folded into the y lerp
