@@ -124,3 +124,30 @@ def test_s2d_stem_exactly_matches_7x7():
     y7 = net7.apply(v7, x, train=False)[0]
     y4 = net4.apply(v4, x, train=False)[0]
     np.testing.assert_allclose(np.asarray(y7), np.asarray(y4), atol=1e-4)
+
+
+def test_backbone_remat_same_params_outputs_grads():
+    """remat=True must not change the param tree, outputs, or gradients."""
+    from visualdet3d_tpu.models.backbones.resnet import ResNet
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 3)).astype(np.float32))
+    net = ResNet(depth=18, num_stages=2, out_indices=(0, 1))
+    net_r = ResNet(depth=18, num_stages=2, out_indices=(0, 1), remat=True)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    v_r = net_r.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_r)
+
+    y = net.apply(v, x, train=False)
+    y_r = net_r.apply(v_r, x, train=False)
+    for a, b in zip(y, y_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(net_, v_):
+        out, _ = net_.apply(v_, x, train=True, mutable=['batch_stats'])
+        return sum(jnp.sum(o ** 2) for o in out)
+
+    g = jax.grad(lambda v_: loss(net, v_))(v)
+    g_r = jax.grad(lambda v_: loss(net_r, v_))(v_r)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=2e-3), g, g_r)

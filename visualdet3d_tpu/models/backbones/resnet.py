@@ -102,11 +102,18 @@ class ResNet(nn.Module):
     norm_eval: bool = False
     pretrained: bool = True  # kept for config parity; loading is external
     s2d_stem: bool = False  # space-to-depth stem (TPU MXU utilisation)
+    remat: bool = False  # per-block rematerialisation (activation memory)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_type, stage_blocks = RESNET_SPECS[self.depth]
         block_cls = BasicBlock if block_type == 'basic' else Bottleneck
+        if self.remat:
+            # recompute each residual block in the backward pass instead of
+            # saving its activations: trades ~1 extra forward of FLOPs for
+            # O(num_blocks) less activation memory (enables batch-8 f32
+            # stereo training at 288x1280 on a single 16 GB chip)
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         stage_blocks = stage_blocks[:self.num_stages]
 
         if self.s2d_stem:
@@ -141,7 +148,7 @@ class ResNet(nn.Module):
                               stride=stride if block_idx == 0 else 1,
                               dilation=dilation,
                               norm_eval=self.norm_eval,
-                              name=f'layer{stage_idx + 1}_{block_idx}')(x, train=train)
+                              name=f'layer{stage_idx + 1}_{block_idx}')(x, train)
             if self.frozen_stages >= stage_idx + 1:
                 x = jax.lax.stop_gradient(x)
             if stage_idx in self.out_indices:
@@ -184,7 +191,7 @@ def resnet(**kwargs) -> ResNet:
     num_stages = kwargs.get('num_stages', 4)
     kwargs.setdefault('dilations', tuple([1] * num_stages))
     valid = {'depth', 'num_stages', 'out_indices', 'frozen_stages',
-             'dilations', 'norm_eval', 's2d_stem'}
+             'dilations', 'norm_eval', 's2d_stem', 'remat'}
     kwargs = {k: v for k, v in kwargs.items() if k in valid}
     if 'out_indices' in kwargs:
         kwargs['out_indices'] = tuple(kwargs['out_indices'])
