@@ -132,6 +132,10 @@ def main():
         if loss_logger:
             loss_logger.reset()
         data_iter = itertools.islice(iter(dataloader_train), steps_per_epoch)
+        # Buffer per-step metrics on device and fetch them in one batch at
+        # disp_iter so the logged value is the true every-iteration average
+        # (reference train.py:157-167 semantics) without a host sync per step.
+        pending_metrics = []
         for iter_num, batch in enumerate(data_iter):
             if cfg.trainer.training_func == 'train_rtm3d':
                 batch['epoch'] = np.full((), epoch_num, np.float32)
@@ -139,9 +143,13 @@ def main():
             state, metrics = train_step(state, device_batch(batch, mesh), step_rng)
             global_step += 1
             timer.tick()
+            if is_main and loss_logger:
+                pending_metrics.append(metrics)
             if is_main and global_step % cfg.trainer.disp_iter == 0:
                 if loss_logger:
-                    loss_logger.update(jax.device_get(metrics))
+                    for m in jax.device_get(pending_metrics):
+                        loss_logger.update(m)
+                    pending_metrics.clear()
                     loss_logger.log(global_step)
                 total = float(np.asarray(metrics['total']))
                 eta = timer.compute_eta(

@@ -296,6 +296,13 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
     from visualdet3d_tpu.evaluator.kitti_object.native import (PackedEvalData,
                                                                load_library)
     native_lib = load_library()
+    if native_lib is None:
+        import warnings
+        warnings.warn(
+            'csrc/libkitti_eval.so unavailable (auto-build failed); falling '
+            'back to the pure-Python matcher, which is O(frames x thresholds) '
+            'slower. Run `make -C csrc` and check compiler errors.',
+            RuntimeWarning)
 
     for m, current_class in enumerate(current_classes):
         for l, difficulty in enumerate(difficultys):
