@@ -1,13 +1,21 @@
-"""Benchmark: YOLOStereo3D forward throughput on one chip.
+"""Benchmark: flagship forward throughput on one chip (stereo + mono + KM3D).
 
-Measures the flagship stereo3D inference path (dual-eye backbone, Pallas
-correlation volumes, cost-volume pyramid, head, decode + on-device NMS) at
-the KITTI benchmark resolution (288 x 1280), and prints ONE JSON line:
-  {"metric": ..., "value": fps, "unit": "frames/s/chip", "vs_baseline": ...}
+Primary metric: YOLOStereo3D forward (dual-eye backbone, Pallas correlation
+volumes, cost-volume pyramid, head, decode + on-device NMS) at the KITTI
+benchmark resolution (288 x 1280). BASELINE.md's primary metric is
+"mono3D + stereo3D forward", so `detail` also carries GAC mono fps and
+KM3D (DLA-34 + DCN neck) fps. Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": ..., "vs_baseline": ..., "detail": {...}}
 
 Baseline: the north-star target of 500 frames/s/chip on TPU v5e
 (BASELINE.md; the reference YOLOStereo3D paper reports ~12.5 fps on a
-GTX 1080Ti). vs_baseline = fps / 500.
+GTX 1080Ti). vs_baseline = stereo_fps / 500.
+
+All timings are PROFILER device time with distinct host-uploaded inputs:
+wall-clock loops can be cached or elided by the axon execution relay
+(CLAUDE.md "Benchmarking on the axon relay").
+
+Usage: python bench.py [batch] [dtype] [stereo|mono|km3d|all]
 """
 from __future__ import annotations
 
@@ -18,25 +26,34 @@ import time
 
 import numpy as np
 
+KITTI_P2 = np.array([
+    [721.5377, 0.0, 609.5593, 44.85728],
+    [0.0, 721.5377, 72.854, 0.2163791],
+    [0.0, 0.0, 1.0, 0.002745884],
+], np.float32)
 
-def main():
+
+def _device_ms(fn, argsets, iters=12):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tools'))
+    from tpu_time import device_ms
+    return device_ms(fn, argsets, iters=iters)
+
+
+def bench_stereo(batch, dtype):
     import jax
     import jax.numpy as jnp
-
     from __graft_entry__ import _build_system
+    from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
 
     image_hw = (288, 1280)
-    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 16
-    dtype = sys.argv[2] if len(sys.argv) > 2 else 'bfloat16'
     system = _build_system(image_hw)
     system.cfg.inference_dtype = dtype
     variables = system.init(jax.random.PRNGKey(0), image_hw, batch_size=1)
     system.anchor_pack(image_hw)
+    # fold BN into conv kernels (f32), THEN cast weights once outside jit
+    variables = system.fold_inference_variables(variables, image_hw)
     if dtype != 'float32':
-        # cast weights ONCE outside jit: otherwise every forward streams the
-        # f32 params from HBM and casts on device (profiled: multi-ms
-        # copy-start ops per conv weight)
-        from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
         variables = jax.device_put(cast_floating(variables, dtype))
 
     @jax.jit
@@ -45,34 +62,23 @@ def main():
         return out['scores'], out['bboxes'], out['labels'], out['valid']
 
     rng = np.random.default_rng(0)
-    P2 = jnp.asarray(np.tile(np.array([
-        [721.5377, 0.0, 609.5593, 44.85728],
-        [0.0, 721.5377, 72.854, 0.2163791],
-        [0.0, 0.0, 1.0, 0.002745884],
-    ], np.float32), (batch, 1, 1)))
-    # DISTINCT input buffers per step: the execution relay caches repeated
-    # (executable, inputs) pairs, so looping one batch measures the cache
+    P2 = jnp.asarray(np.tile(KITTI_P2, (batch, 1, 1)))
     n_sets = 6
     sets = [(jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32)),
              jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32)))
             for _ in range(n_sets)]
-
-    # warmup / compile
     jax.block_until_ready(forward(variables, sets[0][0], sets[0][1], P2))
-
-    # fps from PROFILER device time: wall-clock loops can be cached or
-    # elided by the axon execution relay (CLAUDE.md "Benchmarking on the
-    # axon relay"); per-module device time is immune to every relay trick.
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), 'tools'))
-    from tpu_time import device_ms
     argsets = [(variables, l, r, P2) for l, r in sets]
-    ms_device = device_ms(forward, argsets, iters=12)
+    ms_device = _device_ms(forward, argsets, iters=12)
     fps = batch / ms_device * 1000
 
     # p50 latency at batch 1 (distinct inputs per call)
     P21 = P2[:1]
-    ones = [(l[:1] + i * 1e-3, r[:1]) for i, (l, r) in enumerate(sets)]
+    # host-uploaded batch-1 inputs (device-computed inputs can be lazily
+    # elided by the relay, CLAUDE.md)
+    ones = [(jnp.asarray(rng.standard_normal((1, *image_hw, 3)).astype(np.float32)),
+             jnp.asarray(rng.standard_normal((1, *image_hw, 3)).astype(np.float32)))
+            for _ in range(n_sets)]
     jax.block_until_ready(forward(variables, ones[0][0], ones[0][1], P21))
     lats = []
     for i in range(12):
@@ -81,17 +87,121 @@ def main():
         jax.block_until_ready(forward(variables, l1, r1, P21))
         lats.append(time.perf_counter() - t)
     p50_ms = float(np.median(lats) * 1000)
+    return fps, ms_device, p50_ms
+
+
+def bench_mono(batch, dtype):
+    """GAC mono forward at the same KITTI resolution."""
+    import jax
+    import jax.numpy as jnp
+    from visualdet3d_tpu.registry import DETECTOR_DICT
+    import visualdet3d_tpu.models  # noqa: F401
+    from visualdet3d_tpu.testing import gac_detector_cfg, write_synthetic_priors
+    from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
+    import tempfile
+
+    image_hw = (288, 1280)
+    pre = os.path.join(tempfile.gettempdir(), 'vd3d_graft_priors_mono')
+    write_synthetic_priors(pre, ['Car', 'Pedestrian'])
+    cfg = gac_detector_cfg(pre, obj_types=('Car', 'Pedestrian'))
+    cfg.inference_dtype = dtype
+    system = DETECTOR_DICT[cfg.name](cfg)
+    variables = system.init(jax.random.PRNGKey(0), image_hw, batch_size=1)
+    system.anchor_pack(image_hw)
+    variables = system.fold_inference_variables(variables, image_hw)
+    if dtype != 'float32':
+        variables = jax.device_put(cast_floating(variables, dtype))
+
+    @jax.jit
+    def forward(variables, images, P2):
+        out = system.predict(variables, images, P2, max_detections=32)
+        return out['scores'], out['bboxes'], out['labels'], out['valid']
+
+    rng = np.random.default_rng(1)
+    P2 = jnp.asarray(np.tile(KITTI_P2, (batch, 1, 1)))
+    sets = [jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32))
+            for _ in range(4)]
+    jax.block_until_ready(forward(variables, sets[0], P2))
+    ms = _device_ms(forward, [(variables, s, P2) for s in sets], iters=8)
+    return batch / ms * 1000, ms
+
+
+def bench_km3d(batch, dtype):
+    """KM3D (DLA-34, DCN neck) forward at 384x1280."""
+    import jax
+    import jax.numpy as jnp
+    from visualdet3d_tpu.config import EasyDict as edict
+    from visualdet3d_tpu.registry import DETECTOR_DICT
+    import visualdet3d_tpu.models  # noqa: F401
+    from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
+
+    image_hw = (384, 1280)
+    cfg = edict(
+        obj_types=['Car'], name='KM3D',
+        backbone=edict(name='dla', depth=34),
+        head=edict(
+            layer_cfg=edict(
+                input_features=64, head_features=256,
+                head_dict={'hm': 1, 'wh': 2, 'hps': 18, 'rot': 8, 'dim': 3,
+                           'prob': 1, 'reg': 2, 'hm_hp': 9, 'hp_offset': 2}),
+            loss_cfg=edict(rampup_length=100),
+            test_cfg=edict(score_thr=0.1, nms_iou_thr=0.5, top_k=100)))
+    cfg.inference_dtype = dtype
+    system = DETECTOR_DICT['KM3D'](cfg)
+    variables = system.init(jax.random.PRNGKey(0), image_hw)
+    variables = system.fold_inference_variables(variables, image_hw)
+    if dtype != 'float32':
+        variables = jax.device_put(cast_floating(variables, dtype))
+    P2 = jnp.asarray(np.tile(KITTI_P2, (batch, 1, 1)))
+
+    @jax.jit
+    def forward(v, im, p):
+        out = system.predict(v, im, p, max_detections=32)
+        return out['scores'], out['bboxes'], out['labels']
+
+    rng = np.random.default_rng(2)
+    sets = [jnp.asarray(rng.standard_normal((batch, *image_hw, 3)).astype(np.float32))
+            for _ in range(4)]
+    jax.block_until_ready(forward(variables, sets[0], P2))
+    ms = _device_ms(forward, [(variables, s, P2) for s in sets], iters=6)
+    return batch / ms * 1000, ms
+
+
+def main():
+    import jax
+
+    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 16
+    dtype = sys.argv[2] if len(sys.argv) > 2 else 'bfloat16'
+    which = sys.argv[3] if len(sys.argv) > 3 else \
+        os.environ.get('VD3D_BENCH', 'all')
+
+    detail = {'batch': batch, 'inference_dtype': dtype,
+              'backend': jax.default_backend()}
+    fps = 0.0
+    if which in ('all', 'stereo'):
+        fps, ms_device, p50_ms = bench_stereo(batch, dtype)
+        detail.update(stereo_image_hw=[288, 1280],
+                      device_ms_per_batch=round(ms_device, 2),
+                      p50_latency_ms_bs1=round(p50_ms, 2))
+    if which in ('all', 'mono'):
+        mono_fps, mono_ms = bench_mono(batch, dtype)
+        detail.update(mono_gac_fps=round(mono_fps, 2),
+                      mono_device_ms=round(mono_ms, 2))
+        if which == 'mono':
+            fps = mono_fps
+    if which in ('all', 'km3d'):
+        km3d_fps, km3d_ms = bench_km3d(batch, dtype)
+        detail.update(km3d_fps=round(km3d_fps, 2),
+                      km3d_device_ms=round(km3d_ms, 2))
+        if which == 'km3d':
+            fps = km3d_fps
 
     print(json.dumps({
         'metric': 'stereo3d_forward_fps_per_chip',
         'value': round(fps, 2),
         'unit': 'frames/s',
         'vs_baseline': round(fps / 500.0, 4),
-        'detail': {'batch': batch, 'image_hw': list(image_hw),
-                   'device_ms_per_batch': round(ms_device, 2),
-                   'p50_latency_ms_bs1': round(p50_ms, 2),
-                   'inference_dtype': dtype,
-                   'backend': jax.default_backend()},
+        'detail': detail,
     }))
 
 

@@ -186,3 +186,65 @@ def test_km3d_monoflex_batched_predict_matches_single(name):
         # test_gen_position_recovers_3d_location; here check the plumbing.
         np.testing.assert_allclose(bb[:, :4], sb[:, :4], atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(bb[:, 7:], sb[:, 7:], atol=1e-4, rtol=1e-4)
+
+
+def test_rtm3d_data_parallel_grad_parity():
+    """8-device sharded vs 1-device unsharded train_rtm3d: identical update.
+
+    Exercises the nested gts target dict + the scalar `epoch` leaf through
+    shard_batch (which must replicate it), and asserts GRADIENT parity (the
+    post-step params), not just the loss scalar.
+    """
+    from visualdet3d_tpu.parallel import mesh as mesh_lib
+    from visualdet3d_tpu.pipelines.train_state import create_train_state
+    from visualdet3d_tpu.registry import PIPELINE_DICT
+    import visualdet3d_tpu.pipelines  # noqa: F401
+    from visualdet3d_tpu.solver import build_optimizer
+
+    devices = jax.devices()
+    assert len(devices) >= 8, 'conftest must force 8 CPU devices'
+    m = mesh_lib.make_mesh(devices[:8])
+
+    cfg = _km3d_cfg('KM3D')
+    system = DETECTOR_DICT['KM3D'](cfg)
+    image_hw = (64, 160)
+    tx = build_optimizer(edict(type_name='adam', keywords=edict(lr=1e-3),
+                               clipped_gradient_norm=0.1))
+    state = create_train_state(system, jax.random.PRNGKey(0), image_hw, tx)
+
+    nprng = np.random.default_rng(3)
+    targets = []
+    for i in range(8):
+        obj = _make_obj(z=8.0 + i)
+        obj.bbox_l, obj.bbox_t, obj.bbox_r, obj.bbox_b = 40, 20, 100, 50
+        targets.append(_targets_for([obj], KittiRTM3DDataset,
+                                    image_hw=image_hw))
+    gts = {k: np.stack([t[k] for t in targets]) for k in targets[0]}
+    batch = dict(
+        images=nprng.standard_normal((8, *image_hw, 3)).astype(np.float32),
+        gts=gts,
+        P2=np.tile(P2[None], (8, 1, 1)),
+        epoch=np.float32(5.0),
+    )
+    step = PIPELINE_DICT['train_rtm3d'](system, tx, donate=False)
+
+    sharded = mesh_lib.shard_batch(m, batch)
+    assert len(sharded['epoch'].sharding.device_set) == 8  # replicated scalar
+    assert sharded['images'].sharding.is_fully_replicated is False
+    state8 = mesh_lib.replicate(m, state)
+    new8, metrics8 = step(state8, sharded, jax.random.PRNGKey(7))
+
+    new1, metrics1 = step(state, jax.tree.map(jnp.asarray, batch),
+                          jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(metrics8['total']),
+                               float(metrics1['total']), rtol=2e-4)
+    # gradient parity: post-update params equal leaf-by-leaf
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), new8.params, new1.params)
+    worst = max(jax.tree.leaves(diffs))
+    assert worst < 5e-5, worst
+    # BN batch stats also match (GSPMD cross-replica mean == global mean)
+    bs_diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        new8.batch_stats, new1.batch_stats)
+    assert max(jax.tree.leaves(bs_diffs)) < 1e-4

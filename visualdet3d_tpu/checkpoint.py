@@ -60,8 +60,8 @@ def load_params(path: str, template: Any = None) -> Any:
 
 
 def merge_pretrained_backbone(variables, path: str):
-    """Warm-start the ResNet backbone subtree from a converted torchvision
-    checkpoint (tools/convert_torchvision.py output).
+    """Warm-start the backbone subtree from a converted zoo checkpoint
+    (tools/convert_torchvision.py or tools/convert_dla.py output).
 
     The analogue of the reference's pretrained-weights load
     (scripts/train.py:90-93 + resnet.py:14-20 model-zoo URLs): locate the
@@ -75,7 +75,9 @@ def merge_pretrained_backbone(variables, path: str):
 
     def find_backbone(tree, trail=()):
         if isinstance(tree, dict):
-            if 'conv1' in tree:
+            # ResNet subtree root holds 'conv1'; DLA subtree root holds
+            # 'base_layer' (tools/convert_dla.py layout)
+            if 'conv1' in tree or 'base_layer' in tree:
                 return trail
             for k, v in tree.items():
                 hit = find_backbone(v, trail + (k,))

@@ -37,12 +37,16 @@ class DLABasicBlock(nn.Module):
     def __call__(self, x, residual=None, train: bool = False):
         if residual is None:
             residual = x
+        # explicit symmetric padding == torch Conv2d(padding=dilation): XLA
+        # 'SAME' pads (0, 1) for stride 2, torch pads (1, 1) — must match
+        # for pretrained-weight parity (tools/convert_dla.py)
+        pad = [(self.dilation, self.dilation)] * 2
         out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                       kernel_dilation=(self.dilation, self.dilation),
-                      padding='SAME', use_bias=False)(x)
+                      padding=pad, use_bias=False)(x)
         out = _bn(train)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding='SAME',
+        out = nn.Conv(self.features, (3, 3), padding=pad,
                       kernel_dilation=(self.dilation, self.dilation),
                       use_bias=False)(out)
         out = _bn(train)(out)
@@ -66,7 +70,8 @@ class DLABottleneck(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(bottle, (3, 3), strides=(self.stride, self.stride),
                       kernel_dilation=(self.dilation, self.dilation),
-                      padding='SAME', use_bias=False)(out)
+                      padding=[(self.dilation, self.dilation)] * 2,  # torch parity
+                      use_bias=False)(out)
         out = _bn(train)(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (1, 1), use_bias=False)(out)
@@ -104,7 +109,7 @@ class Tree(nn.Module):
     root_residual: bool = False
 
     @nn.compact
-    def __call__(self, x, residual=None, children=None, train: bool = False):
+    def __call__(self, x, children=None, train: bool = False):
         block_cls = DLABasicBlock if self.block == 'basic' else DLABottleneck
         root_dim = self.root_dim or 2 * self.features
         if self.level_root:
@@ -113,14 +118,15 @@ class Tree(nn.Module):
         children = [] if children is None else list(children)
         bottom = nn.max_pool(x, (self.stride, self.stride),
                              (self.stride, self.stride)) if self.stride > 1 else x
+        # torch Tree.forward (reference dla.py:217-220) ALWAYS recomputes
+        # residual = project(bottom) at its own level and discards any
+        # caller-passed residual — nested trees never inherit the outer one
         if x.shape[-1] != self.features:
-            proj = nn.Conv(self.features, (1, 1), use_bias=False,
-                           name='project_conv')(bottom)
-            proj = _bn(train)(proj)
+            residual = nn.Conv(self.features, (1, 1), use_bias=False,
+                               name='project_conv')(bottom)
+            residual = _bn(train)(residual)
         else:
-            proj = bottom
-        if residual is None:
-            residual = proj
+            residual = bottom
         if self.level_root:
             children.append(bottom)
 
@@ -135,7 +141,7 @@ class Tree(nn.Module):
             x1 = Tree(self.levels - 1, self.features, self.block, self.stride,
                       root_dim=0, root_kernel_size=self.root_kernel_size,
                       dilation=self.dilation, root_residual=self.root_residual,
-                      name='tree1')(x, residual, train=train)
+                      name='tree1')(x, train=train)
             children.append(x1)
             out = Tree(self.levels - 1, self.features, self.block, 1,
                        root_dim=root_dim + self.features,
@@ -168,8 +174,8 @@ class DLA(nn.Module):
         y = _bn(train)(y)
         y = nn.relu(y)
         outs.append(y)
-        # level1: plain conv stage, stride 2
-        y = nn.Conv(ch[1], (3, 3), strides=(2, 2), padding='SAME',
+        # level1: plain conv stage, stride 2 (explicit (1,1) pad: torch parity)
+        y = nn.Conv(ch[1], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, name='level1_conv')(y)
         y = _bn(train)(y)
         y = nn.relu(y)

@@ -25,7 +25,7 @@ class DeformConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ModulatedDeformConv(self.features, 3)(x)
+        x = ModulatedDeformConv(self.features, 3)(x, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         return nn.relu(x)
 

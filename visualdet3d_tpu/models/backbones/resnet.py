@@ -45,9 +45,14 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        # explicit symmetric padding == torch Conv2d(padding=dilation): for
+        # stride 1 this equals 'SAME', but for stride 2 XLA 'SAME' pads
+        # (0, 1) while torch pads (1, 1) — a 1px sampling-grid shift that
+        # breaks pretrained-weight parity
+        pad = [(self.dilation, self.dilation)] * 2
         out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                       kernel_dilation=(self.dilation, self.dilation),
-                      padding='SAME', use_bias=False)(x)
+                      padding=pad, use_bias=False)(x)
         out = _bn(train, self.norm_eval)(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False)(out)
@@ -76,7 +81,8 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                       kernel_dilation=(self.dilation, self.dilation),
-                      padding='SAME', use_bias=False)(out)
+                      padding=[(self.dilation, self.dilation)] * 2,  # torch parity (see BasicBlock)
+                      use_bias=False)(out)
         out = _bn(train, self.norm_eval)(out)
         out = nn.relu(out)
         out = nn.Conv(out_features, (1, 1), use_bias=False)(out)

@@ -285,7 +285,7 @@ class ModulatedDeformConv(nn.Module):
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         k = self.kernel_size * self.kernel_size
         pad = self.dilation * (self.kernel_size - 1) // 2
         offset_mask = nn.Conv(
@@ -302,4 +302,5 @@ class ModulatedDeformConv(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
         return modulated_deform_conv(
             x, offset, mask, weight, bias,
-            stride=self.stride, padding=pad, dilation=self.dilation)
+            stride=self.stride, padding=pad, dilation=self.dilation,
+            train=train)

@@ -89,6 +89,15 @@ class KM3D:
         images = jnp.zeros((batch_size, image_hw[0], image_hw[1], 3), jnp.float32)
         return self.net.init({'params': rng}, images, train=True)
 
+    def fold_inference_variables(self, variables, image_hw: Tuple[int, int],
+                                 batch_size: int = 1):
+        """Fold conv+BN for the jitted predict path (models/fold_bn.py)."""
+        import jax as _jax
+        from visualdet3d_tpu.models.fold_bn import fold_batchnorm
+        img = _jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        return fold_batchnorm(
+            variables, lambda v, im: self.net.apply(v, im, train=False), img)
+
     def loss(self, variables, images, gts, P2, rng=None, train: bool = True,
              epoch: float = 100.0):
         """batch keys follow the RTM3D target dict; returns
@@ -104,7 +113,15 @@ class KM3D:
         return (loss, loss_dict), new_state
 
     def predict(self, variables, images, P2, max_detections: int = 32):
+        dtype = self.cfg.get('inference_dtype', 'float32')
+        if dtype != 'float32':
+            from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
+            variables = cast_floating(variables, dtype)
+            images = images.astype(dtype)
         output = self.net.apply(variables, images, train=False)
+        if dtype != 'float32':
+            # decode in f32 (heatmap topk + LSQ position solve)
+            output = {k: v.astype(jnp.float32) for k, v in output.items()}
         image_hw = (images.shape[1], images.shape[2])
         kwargs = dict(
             score_thr=self.test_cfg.get('score_thr', 0.1),

@@ -45,7 +45,7 @@ class DoubleConv(nn.Module):
         x = nn.Conv(mid, (5, 5), padding='SAME')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
-        x = ModulatedDeformConv(self.features, 3)(x)
+        x = ModulatedDeformConv(self.features, 3)(x, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         return nn.relu(x)
 
@@ -128,6 +128,17 @@ class MonoDepth:
         images = jnp.zeros((batch_size, image_hw[0], image_hw[1], 3), jnp.float32)
         P2 = jnp.eye(3, 4)[None].repeat(batch_size, axis=0)
         return self.net.init({'params': rng}, images, P2, train=True)
+
+    def fold_inference_variables(self, variables, image_hw: Tuple[int, int],
+                                 batch_size: int = 1):
+        """Fold conv+BN for the jitted predict path (models/fold_bn.py)."""
+        import jax as _jax
+        from visualdet3d_tpu.models.fold_bn import fold_batchnorm
+        img = _jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        P2 = _jax.ShapeDtypeStruct((batch_size, 3, 4), jnp.float32)
+        return fold_batchnorm(
+            variables, lambda v, im, p: self.net.apply(v, im, p, train=False),
+            img, P2)
 
     def loss(self, variables, images, P2, gts, rng=None, train: bool = True):
         """images [B,H,W,3]; P2 [B,3,4]; gts [B,H,W] sparse metric depth.

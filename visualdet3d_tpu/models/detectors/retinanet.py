@@ -162,6 +162,14 @@ class RetinaNet:
         images = jnp.zeros((batch_size, image_hw[0], image_hw[1], 3), jnp.float32)
         return self.net.init({'params': rng}, images, train=True)
 
+    def fold_inference_variables(self, variables, image_hw, batch_size: int = 1):
+        """Fold conv+BN for the jitted predict path (models/fold_bn.py)."""
+        import jax as _jax
+        from visualdet3d_tpu.models.fold_bn import fold_batchnorm
+        img = _jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        return fold_batchnorm(
+            variables, lambda v, im: self.net.apply(v, im, train=False), img)
+
     def loss(self, variables, images, P2, annotations, rng=None,
              train: bool = True):
         """P2 accepted for trainer-protocol parity; unused in 2D."""

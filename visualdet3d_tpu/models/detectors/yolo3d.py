@@ -108,6 +108,20 @@ class Yolo3DSystem:
         P2 = jnp.eye(3, 4)[None].repeat(batch_size, axis=0)
         return self.net.init({'params': rng}, images, P2, train=False)
 
+    def fold_inference_variables(self, variables, image_hw: Tuple[int, int],
+                                 batch_size: int = 1):
+        """Fold conv+BN pairs for the jitted predict path (models/fold_bn.py).
+
+        Host-side, one-time; apply BEFORE any bf16 cast so the fold happens
+        in f32. Numerically equivalent to the unfolded predict.
+        """
+        from visualdet3d_tpu.models.fold_bn import fold_batchnorm
+        img = jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        P2 = jax.ShapeDtypeStruct((batch_size, 3, 4), jnp.float32)
+        return fold_batchnorm(
+            variables, lambda v, im, p: self.net.apply(v, im, p, train=False),
+            img, P2)
+
     # ---------------------------------------------------------------- loss
     def loss(self, variables, images, P2, annotations, rng=None,
              train: bool = True):

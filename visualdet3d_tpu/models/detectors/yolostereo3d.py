@@ -183,6 +183,15 @@ class Stereo3D(Yolo3DSystem):
                                   left, left, P2, train=True)
         return variables
 
+    def fold_inference_variables(self, variables, image_hw, batch_size: int = 1):
+        from visualdet3d_tpu.models.fold_bn import fold_batchnorm
+        img = jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        P2 = jax.ShapeDtypeStruct((batch_size, 3, 4), jnp.float32)
+        return fold_batchnorm(
+            variables,
+            lambda v, l, r, p: self.net.apply(v, l, r, p, train=False),
+            img, img, P2)
+
     def loss(self, variables, left_images, right_images, P2, P3, annotations,
              disparity=None, rng=None, train: bool = True):
         """reference: Stereo3D.train_forward (yolostereo3d_detector.py:42-75):

@@ -294,7 +294,7 @@ class AnchorBasedDetection3DHead(nn.Module):
     def __call__(self, features, P2=None, train: bool = False):
         cls = _ClsBranch(self.num_anchors, self.num_cls_output,
                          self.cls_feature_size)(features, train=train)
-        x = ModulatedDeformConv(self.reg_feature_size, 3)(features)
+        x = ModulatedDeformConv(self.reg_feature_size, 3)(features, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = nn.relu(x)
         x = nn.Conv(self.reg_feature_size, (3, 3), padding='SAME')(x)

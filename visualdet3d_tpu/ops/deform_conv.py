@@ -26,12 +26,24 @@ Profiled at (4, 96, 320, 64), 3x3, on v5e: 20.3 ms f32 / 16.4 ms bf16 vs
 is differentiable jnp, so the backward pass (the 867-line CUDA kernel in
 the reference) comes from autodiff.
 
+For bf16 INFERENCE there is a second formulation (`_packed_conv`) that
+packs the (row y, row y+1) bf16 channel pairs into uint32 — halving the
+per-VALUE-bound gather — and fuses unpack + bilinear lerp + the tap matmul
+into one Pallas kernel (sampled taps never touch HBM): **10.35 ms bf16**
+at the probe shape, 1.6x the pair-gather path. See the section banner
+below for the full design rationale.
+
 Layouts: NHWC activations, HWIO weights (TPU-native conv layouts).
 """
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _tap_coords(offset, ho, wo, kh, kw, stride, padding, dilation, dtype):
@@ -95,6 +107,186 @@ def _gather_pairs_bwd(res, g):
 _gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed bf16 inference path: u32 corner gather + fused Pallas lerp-matmul.
+#
+# The XLA gather is per-VALUE bound (~17-19 G gathered values/s on v5e,
+# CLAUDE.md), so packing the (row y, row y+1) bf16 channel pairs into one
+# uint32 halves the gather (measured 16.5 -> 6.5 ms at the DLA-neck probe
+# shape), and horizontally stacking the (x0, x0+1) columns makes each tap
+# ONE contiguous (1, 2C) u32 row slice — the gather output IS the kernel's
+# input layout, no reshape copies. XLA loses the packing win back to unpack
+# layout copies (CLAUDE.md dead-end); a Pallas kernel does not: it splits
+# lo/hi via the width-preserving shift-bitcast trick (bf16 bits b == f32
+# bits b << 16), applies both bilinear lerps + the DCNv2 modulation, and
+# feeds the MXU tap-matmul directly from VMEM — the 9x-sized sampled-tap
+# tensor never touches HBM.
+# ---------------------------------------------------------------------------
+
+
+def _lerp_matmul_kernel(g_ref, w_ref, wk_ref, o_ref, acc, *, c: int, k: int):
+    """Fused bilinear-lerp + tap-matmul block.
+
+    Grid (pix_tiles, K); rows are ordered taps-OUTER ([B, K, HW]) so each
+    (tile, k) block is TP contiguous rows of tap k. The kernel lerps the
+    block to sampled taps [TP, C], multiplies by that tap's weight slice
+    [C, Cout] on the MXU, and accumulates in an f32 scratch; the output
+    tile [TP, Cout] is written once on the last tap. This keeps the
+    sampled-tap tensor (9x the conv output) entirely in VMEM.
+    """
+    kk = pl.program_id(1)
+    g = g_ref[:]
+    lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(g & jnp.uint32(0xFFFF0000), jnp.float32)
+    v = lo * w_ref[:, 2:3] + hi * w_ref[:, 3:4]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    wx = jnp.where(lane < c, w_ref[:, 0:1], w_ref[:, 1:2])
+    vw = v * wx
+    sampled = (vw[:, :c] + vw[:, c:]).astype(jnp.bfloat16)   # [TP, C]
+
+    @pl.when(kk == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jnp.dot(sampled, wk_ref[0],
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(kk == k - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def _pick_pixrows(hw: int, c: int, cout: int,
+                  budget: int = 8 * 2 ** 20) -> int | None:
+    """Pixel rows per block: VMEM cost with lane padding (the [TP, 4] f32
+    weights block pads 4 -> 128 lanes, ~5 in-kernel [TP, 2C] f32 temporaries
+    get distinct stack slots, plus the f32 accumulator)."""
+    per_row = (2 * ((2 * c) * 4 + 128 * 4) + 5 * (2 * c) * 4
+               + max(cout, 128) * 4 + max(cout, 128) * 2)
+    for tp in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if hw % tp == 0 and tp * per_row <= budget:
+            return tp
+    return None
+
+
+def _packed_ok(hw: int, c_in: int, c_out: int, dtype) -> bool:
+    if dtype != jnp.bfloat16 or c_in % 64 or c_in > 512:
+        return False
+    return (_pick_pixrows(hw, c_in, c_out) is not None
+            and os.environ.get('VD3D_DCN_IMPL', 'packed') == 'packed')
+
+
+def _gather_rows(src: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
+    """[B, R, C2], [B, N, 1] -> [B, N, C2] single-row gather."""
+    cols = src.shape[-1]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.vmap(
+        lambda s, i: jax.lax.gather(
+            s, i, dnums, slice_sizes=(1, cols),
+            mode=jax.lax.GatherScatterMode.CLIP)
+    )(src, start)
+
+
+def _lerp_matmul_pallas(g2, wts, wk, b, hw):
+    """g2 [B*K*HW, 2C] u32, wts [B*K*HW, 4] f32, wk [K, C, Cout] bf16
+    -> [B*HW, Cout] bf16 (rows taps-outer: row = (b*K + k)*HW + p)."""
+    kt, c, cout = wk.shape
+    tp = _pick_pixrows(hw, c, cout)
+    assert tp is not None, 'caller must check _packed_ok first'
+    ppb = hw // tp                      # pixel blocks per (image, tap)
+    row_map = lambda t, kk: ((t // ppb) * (kt * ppb) + kk * ppb + (t % ppb), 0)
+    interpret = jax.default_backend() != 'tpu'
+    return pl.pallas_call(
+        functools.partial(_lerp_matmul_kernel, c=c, k=kt),
+        out_shape=jax.ShapeDtypeStruct((b * hw, cout), jnp.bfloat16),
+        grid=(b * ppb, kt),
+        in_specs=[
+            pl.BlockSpec((tp, 2 * c), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 4), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, cout), lambda t, kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, cout), lambda t, kk: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tp, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hw * kt * c * cout + 8 * b * hw * kt * c,
+            transcendentals=0,
+            bytes_accessed=b * hw * kt * (2 * c * 4 + 16) + b * hw * cout * 2),
+        interpret=interpret,
+    )(g2, wts, wk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _packed_conv(flat, start, fx, fym, my, wk, dims):
+    """Packed bilinear sampling + tap matmul: the DCNv2 hot loop.
+
+    flat: [B, R, C] bf16 zero-padded image rows (R = Hp*Wp);
+    start: [B, N, 1] int32 flat (y0, x0) corner index, rows taps-OUTER
+      (N = K*HW ordered [K, HW]);
+    fx/fym/my: [B, N] lerp weights ((fy, 1-fy) pre-multiplied by the DCNv2
+      modulation mask), same order; wk: [K, C, Cout] tap weights;
+    dims: static (wp, hw).
+    Returns [B, HW, Cout] bf16.
+    """
+    out, _ = _packed_conv_fwd(flat, start, fx, fym, my, wk, dims)
+    return out
+
+
+def _packed_conv_fwd(flat, start, fx, fym, my, wk, dims):
+    wp, hw = dims
+    b, r, c = flat.shape
+    n = start.shape[1]
+    lo = jax.lax.bitcast_convert_type(flat, jnp.uint16).astype(jnp.uint32)
+    down = jnp.concatenate([lo[:, wp:], jnp.zeros_like(lo[:, :wp])], axis=1)
+    packed = lo | (down << 16)                       # [B, R, C] u32
+    # stack the (x0, x0+1) columns along channels so ONE (1, 2C) row slice
+    # holds all four corners — the gather then emits rows that are ALREADY
+    # the kernel's [R2, 2C] lane layout. (A (2, C) slice_sizes gather needs
+    # a sublane->lane merging reshape afterwards, which XLA materialises as
+    # a full copy of the 0.5 GB gathered tensor — measured +3 ms.)
+    right = jnp.concatenate([packed[:, 1:], jnp.zeros_like(packed[:, :1])],
+                            axis=1)
+    src = jnp.concatenate([packed, right], axis=-1)   # [B, R, 2C] u32
+    g = _gather_rows(src, start)                      # [B, N, 2C] u32
+    wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.float32)
+    out = _lerp_matmul_pallas(g.reshape(b * n, 2 * c),
+                              wts.reshape(b * n, 4),
+                              wk.astype(jnp.bfloat16), b, hw)
+    return out.reshape(b, hw, wk.shape[-1]), (flat, start, fx, fym, my, wk)
+
+
+def _pairs_conv_ref(flat, start, fx, fym, my, wk, wp, hw):
+    """Pair-gather formulation of _packed_conv (identical math, plain jnp):
+    used as the backward-pass oracle via jax.vjp."""
+    b, r, c = flat.shape
+    kt = wk.shape[0]
+    down = jnp.concatenate([flat[:, wp:], jnp.zeros_like(flat[:, :wp])], axis=1)
+    src = jnp.concatenate([flat, down], axis=-1)
+    g = _gather_pairs(src, start)                     # [B, N, 2, 2C]
+    fx1 = fx[..., None]
+    gx = g[:, :, 0, :] * (1 - fx1) + g[:, :, 1, :] * fx1
+    sampled = gx[..., :c] * my[..., None] + gx[..., c:] * fym[..., None]
+    sampled = sampled.reshape(b, kt, hw, c)
+    return jnp.einsum('bkpc,kco->bpo', sampled, wk,
+                      preferred_element_type=sampled.dtype)
+
+
+def _packed_conv_bwd(dims, res, ct):
+    wp, hw = dims
+    flat, start, fx, fym, my, wk = res
+    _, vjp = jax.vjp(
+        lambda fl, f1, f2, f3, w_: _pairs_conv_ref(fl, start, f1, f2, f3, w_,
+                                                   wp, hw),
+        flat, fx, fym, my, wk)
+    d_flat, d_fx, d_fym, d_my, d_wk = vjp(ct.astype(flat.dtype))
+    return d_flat, None, d_fx, d_fym, d_my, d_wk
+
+
+_packed_conv.defvjp(_packed_conv_fwd, _packed_conv_bwd)
+
+
 def modulated_deform_conv(x: jnp.ndarray,
                           offset: jnp.ndarray,
                           mask: jnp.ndarray,
@@ -102,7 +294,8 @@ def modulated_deform_conv(x: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
                           stride: int = 1,
                           padding: int = 1,
-                          dilation: int = 1) -> jnp.ndarray:
+                          dilation: int = 1,
+                          train: bool = False) -> jnp.ndarray:
     """Modulated deformable conv (DCNv2) forward.
 
     Args:
@@ -129,30 +322,53 @@ def modulated_deform_conv(x: jnp.ndarray,
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     hp, wp = h + 4, w + 4
     flat = xp.reshape(b, hp * wp, c_in)
-    down = jnp.concatenate([flat[:, wp:], jnp.zeros((b, wp, c_in), f)], axis=1)
-    src = jnp.concatenate([flat, down], axis=-1)          # [B, Hp*Wp, 2C]
 
-    py, px = _tap_coords(offset, ho, wo, kh, kw, stride, padding, dilation, f)
+    # coordinates ALWAYS in f32: at x ~ 320 a bf16 coordinate has ULP 2.0,
+    # which would discard the fractional offsets entirely on the image's
+    # right half. The lerp weights in [0, 1] are well-represented in f, so
+    # only the base+offset sum needs the precision.
+    py, px = _tap_coords(offset.astype(jnp.float32), ho, wo, kh, kw, stride,
+                         padding, dilation, jnp.float32)
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
-    fy = py - y0
-    fx = px - x0
+    fy = (py - y0).astype(f)
+    fx = (px - x0).astype(f)
     y0p = jnp.clip(y0.astype(jnp.int32) + 2, 0, hp - 2)
     x0p = jnp.clip(x0.astype(jnp.int32) + 2, 0, wp - 2)
     start = (y0p * wp + x0p).reshape(b, -1, 1)            # [B, N*K, 1]
-
-    g = _gather_pairs(src, start)                          # [B, N*K, 2, 2C]
-
-    # two sequential lerps in the gather's flat layout: XLA fuses them INTO
-    # the (scalar-core-bound) gather fusion, so they cost ~nothing. A 6-D
-    # corner einsum — or any layout-changing consumer — breaks that fusion
-    # and adds multi-ms copies.
     n = ho * wo * k
-    fxf = fx.reshape(b, n, 1)
-    fyf = (fy * mask).reshape(b, n, 1)    # modulation folded into the y lerp
-    myf = ((1 - fy) * mask).reshape(b, n, 1)
-    gx = g[:, :, 0, :] * (1 - fxf) + g[:, :, 1, :] * fxf   # [B, N, 2C]
-    sampled = gx[..., :c_in] * myf + gx[..., c_in:] * fyf  # [B, N, C]
+
+    # the packed path is inference-only: its fwd is ~1.8x the pair-gather's,
+    # but its backward (recompute via the pairs formulation) is slower, so
+    # training sticks to pairs
+    if not train and _packed_ok(ho * wo, c_in, c_out, f):
+        perm = (0, 3, 1, 2)  # [B,Ho,Wo,K] -> [B,K,Ho,Wo]: taps-outer rows
+        startk = (y0p * wp + x0p).transpose(perm).reshape(b, n, 1)
+        out = _packed_conv(
+            flat, startk,
+            fx.transpose(perm).reshape(b, n),
+            (fy * mask).transpose(perm).reshape(b, n),
+            ((1 - fy) * mask).transpose(perm).reshape(b, n),
+            weight.reshape(k, c_in, c_out), (wp, ho * wo))
+        out = out.reshape(b, ho, wo, c_out)
+        if bias is not None:
+            out = out + bias
+        return out
+    else:
+        down = jnp.concatenate([flat[:, wp:], jnp.zeros((b, wp, c_in), f)],
+                               axis=1)
+        src = jnp.concatenate([flat, down], axis=-1)       # [B, Hp*Wp, 2C]
+        g = _gather_pairs(src, start)                      # [B, N*K, 2, 2C]
+
+        # two sequential lerps in the gather's flat layout: XLA fuses them
+        # INTO the (scalar-core-bound) gather fusion, so they cost ~nothing.
+        # A 6-D corner einsum — or any layout-changing consumer — breaks
+        # that fusion and adds multi-ms copies.
+        fxf = fx.reshape(b, n, 1)
+        fyf = (fy * mask).reshape(b, n, 1)  # modulation folded into y lerp
+        myf = ((1 - fy) * mask).reshape(b, n, 1)
+        gx = g[:, :, 0, :] * (1 - fxf) + g[:, :, 1, :] * fxf  # [B, N, 2C]
+        sampled = gx[..., :c_in] * myf + gx[..., c_in:] * fyf  # [B, N, C]
     out = jnp.einsum('bnkc,kco->bno',
                      sampled.reshape(b, ho * wo, k, c_in),
                      weight.reshape(k, c_in, c_out),
@@ -214,8 +430,8 @@ def modulated_deform_conv_reference(x: jnp.ndarray,
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
     assert offset.shape[:3] == (b, ho, wo), (offset.shape, (b, ho, wo))
 
-    py, px = _tap_coords(offset, ho, wo, kh, kw, stride, padding, dilation,
-                         x.dtype)
+    py, px = _tap_coords(offset.astype(jnp.float32), ho, wo, kh, kw, stride,
+                         padding, dilation, jnp.float32)
     out = jnp.zeros((b, ho, wo, c_out), dtype=x.dtype)
     for k in range(kh * kw):
         sampled = jax.vmap(_bilinear_sample_zero)(x, py[..., k], px[..., k])
@@ -234,7 +450,8 @@ def deform_conv(x: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
                 stride: int = 1,
                 padding: int = 1,
-                dilation: int = 1) -> jnp.ndarray:
+                dilation: int = 1,
+                train: bool = False) -> jnp.ndarray:
     """Plain (v1, non-modulated) deformable conv: mask == 1 everywhere.
 
     reference: DeformConvPack (dcn/deform_conv.py:53-200).
@@ -242,4 +459,5 @@ def deform_conv(x: jnp.ndarray,
     b, ho, wo = offset.shape[0], offset.shape[1], offset.shape[2]
     k = offset.shape[-1] // 2
     ones = jnp.ones((b, ho, wo, k), dtype=x.dtype)
-    return modulated_deform_conv(x, offset, ones, weight, bias, stride, padding, dilation)
+    return modulated_deform_conv(x, offset, ones, weight, bias, stride,
+                                 padding, dilation, train=train)
