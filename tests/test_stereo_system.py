@@ -138,5 +138,18 @@ def test_stereo_data_parallel_step(system):
         assert len(leaf.sharding.device_set) == 8
 
     step = make_stereo_train_step(system, tx, donate=False)
-    new_state, metrics = step(state, sharded, jax.random.PRNGKey(3))
+    compiled = step.lower(state, sharded, jax.random.PRNGKey(3)).compile()
+
+    # A pure data-parallel program must communicate ONLY via gradient /
+    # SyncBN all-reduces. Round 2 shipped a cross-module all-to-all here
+    # (concatenate(axis=0) of two batch-sharded eyes resharded every left row
+    # onto the first half of the mesh) which straggled and aborted XLA:CPU's
+    # 40 s collective rendezvous on a loaded host. _stack_eyes keeps the
+    # doubled batch shard-local; pin that property at the HLO level.
+    hlo = compiled.as_text()
+    assert 'all-to-all' not in hlo, 'sharded stereo step reshards the batch'
+    assert 'collective-permute' not in hlo, 'unexpected cross-device permute'
+    assert 'all-reduce' in hlo  # grads/SyncBN do still communicate
+
+    new_state, metrics = compiled(state, sharded, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics['total'])) and float(metrics['total']) > 0

@@ -34,6 +34,31 @@ from visualdet3d_tpu.ops.cost_volume import concat_volume, correlation_volume
 from visualdet3d_tpu.registry import DETECTOR_DICT
 
 
+def _stack_eyes(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """[B, ...] x2 -> [2B, ...] INTERLEAVED (l0, r0, l1, r1, ...).
+
+    The reference doubles the batch by plain concatenation
+    (yolostereo3d_core.py:110-118). Under a batch-sharded data-parallel mesh
+    that is a catastrophic layout: concatenating two batch-sharded arrays
+    along the sharded axis maps every left row onto the first half of the
+    mesh, so GSPMD must emit a cross-module all-to-all (observed to straggle
+    and abort XLA:CPU's 40 s collective rendezvous). Interleaving keeps each
+    device's left/right pair local: sharding [2B] over N devices gives device
+    i rows (2B/N)*i .. — exactly its own pairs — so the doubled-batch conv
+    needs no communication at all. Batch order inside the doubled conv is
+    irrelevant to convs and to (order-invariant) BN batch stats.
+    """
+    b = left.shape[0]
+    return jnp.stack([left, right], axis=1).reshape(2 * b, *left.shape[1:])
+
+
+def _split_eyes(both: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of _stack_eyes: [2B, ...] -> ([B, ...], [B, ...])."""
+    b = both.shape[0] // 2
+    x = both.reshape(b, 2, *both.shape[1:])
+    return x[:, 0], x[:, 1]
+
+
 class CostVolume3D(nn.Module):
     """Concat cost volume + 3D conv aggregation at stride 16.
 
@@ -48,13 +73,13 @@ class CostVolume3D(nn.Module):
     @nn.compact
     def __call__(self, left, right, train: bool = False):
         d = self.max_disp // self.downsample_scale
-        # shared 1x1 down-projection for both eyes: one doubled-batch conv
-        b = left.shape[0]
-        both = jnp.concatenate([left, right], axis=0)
+        # shared 1x1 down-projection for both eyes: one doubled-batch conv,
+        # interleaved so it stays shard-local under data parallelism
+        both = _stack_eyes(left, right)
         both = nn.Conv(self.psm_features, (1, 1))(both)
         both = nn.BatchNorm(use_running_average=not train, momentum=0.9)(both)
         both = nn.relu(both)
-        l, r = both[:b], both[b:]
+        l, r = _split_eyes(both)
         vol = concat_volume(l, r, d)  # [B, D, H, W, 2F] (NDHWC)
         for _ in range(2):
             vol = nn.Conv(self.psm_features, (3, 3, 3), padding='SAME')(vol)
@@ -140,11 +165,11 @@ class YoloStereo3DNet(nn.Module):
 
     @nn.compact
     def __call__(self, left_images, right_images, P2=None, train: bool = False):
-        b = left_images.shape[0]
-        images = jnp.concatenate([left_images, right_images], axis=0)
+        images = _stack_eyes(left_images, right_images)
         feats = resnet(**dict(self.backbone_cfg))(images, train=train)
-        left_feats = [f[:b] for f in feats]
-        right_feats = [f[b:] for f in feats]
+        eyes = [_split_eyes(f) for f in feats]
+        left_feats = [e[0] for e in eyes]
+        right_feats = [e[1] for e in eyes]
 
         base = 256 if dict(self.backbone_cfg)['depth'] > 34 else 64
         features, depth_output = StereoMerging(base)(left_feats, right_feats,
