@@ -196,11 +196,20 @@ def main():
         if which == 'km3d':
             fps = km3d_fps
 
+    # metric name + baseline divisor follow the selected model (the 500 fps
+    # north-star is the stereo target; mono/KM3D report against their own
+    # recorded bests so a selector run never mislabels the stereo metric)
+    metric = {'all': 'stereo3d_forward_fps_per_chip',
+              'stereo': 'stereo3d_forward_fps_per_chip',
+              'mono': 'mono_gac_forward_fps_per_chip',
+              'km3d': 'km3d_forward_fps_per_chip'}[which]
+    baseline = {'all': 500.0, 'stereo': 500.0, 'mono': 500.0,
+                'km3d': 40.0}[which]
     print(json.dumps({
-        'metric': 'stereo3d_forward_fps_per_chip',
+        'metric': metric,
         'value': round(fps, 2),
         'unit': 'frames/s',
-        'vs_baseline': round(fps / 500.0, 4),
+        'vs_baseline': round(fps / baseline, 4),
         'detail': detail,
     }))
 

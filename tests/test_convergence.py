@@ -67,3 +67,109 @@ def test_gac_overfits_fixed_batch(full_cfg):  # noqa: F811
     # regression head collapsing
     assert np.mean(clss[-10:]) < 0.8 * np.mean(clss[:10]) + 1e-6, (
         np.mean(clss[:10]), np.mean(clss[-10:]))
+
+
+def test_stereo_overfits_fixed_batch():
+    """Stereo: detection AND the auxiliary disparity loss must both decrease
+    when overfitting one frozen synthetic batch; plus the sparse-disparity
+    sanity rule (all-zero GT disparity -> zero aux loss: sparse stereo focal
+    treats 0 as missing, reference disparity_loss.py semantics)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_stereo_system import tiny_stereo_cfg, sample_P
+    from helpers import random_annotations, write_fake_priors
+    from visualdet3d_tpu.pipelines.train_state import make_stereo_train_step
+    import jax.numpy as jnp
+    import tempfile
+
+    image_hw = (64, 160)
+    pre = tempfile.mkdtemp(prefix='vd3d_conv_stereo_')
+    write_fake_priors(pre, ['Car', 'Pedestrian'])
+    cfg = tiny_stereo_cfg(pre)
+    system = DETECTOR_DICT[cfg.name](cfg)
+
+    n_steps = 120
+    tx = build_optimizer(edict(type_name='adam', keywords=edict(lr=3e-4),
+                               clipped_gradient_norm=1.0))
+    state = create_train_state(system, jax.random.PRNGKey(0), image_hw, tx,
+                               batch_size=2)
+    step = make_stereo_train_step(system, tx, donate=False)
+
+    nprng = np.random.default_rng(5)
+    disparity = np.zeros((2, image_hw[0] // 4, image_hw[1] // 4), np.float32)
+    disparity[:, 6:, 8:] = nprng.uniform(2, 18, disparity[:, 6:, 8:].shape)
+    batch = dict(
+        left_images=jnp.asarray(nprng.standard_normal((2, *image_hw, 3)).astype(np.float32)),
+        right_images=jnp.asarray(nprng.standard_normal((2, *image_hw, 3)).astype(np.float32)),
+        P2=jnp.asarray(sample_P(2)),
+        P3=jnp.asarray(sample_P(2, tx=-120.0)),
+        annotations=jnp.asarray(random_annotations(nprng, 2, num_classes=2,
+                                                   image_hw=image_hw)),
+        disparity=jnp.asarray(disparity),
+    )
+
+    totals, disps = [], []
+    rng = jax.random.PRNGKey(9)
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        totals.append(float(metrics['total']))
+        disps.append(float(np.asarray(metrics['disparity_loss']).mean()))
+    totals, disps = np.asarray(totals), np.asarray(disps)
+    assert np.all(np.isfinite(totals))
+    assert totals[-10:].mean() < 0.5 * totals[:10].mean(), totals[::12]
+    # aux disparity loss is learning too
+    assert disps[-10:].mean() < 0.7 * disps[:10].mean(), disps[::12]
+
+    # sparse-GT sanity: zero disparity everywhere -> aux loss exactly 0
+    zero_batch = dict(batch, disparity=jnp.zeros_like(batch['disparity']))
+    _, m0 = step(state, zero_batch, rng)
+    assert float(np.asarray(m0['disparity_loss']).mean()) == 0.0
+
+
+def test_km3d_overfits_fixed_batch():
+    """KM3D (resnet-18 core for CPU speed): heatmap + 2D + dimension terms
+    must drop substantially when overfitting one frozen batch."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_km3d import P2, _make_obj, _targets_for, _km3d_cfg
+    from visualdet3d_tpu.data.kitti.dataset.km3d_dataset import KittiRTM3DDataset
+    from visualdet3d_tpu.registry import PIPELINE_DICT
+    import jax.numpy as jnp
+
+    image_hw = (64, 160)
+    cfg = _km3d_cfg('KM3D')
+    cfg.backbone = edict(name='resnet', depth=18)
+    system = DETECTOR_DICT['KM3D'](cfg)
+
+    targets = []
+    for i in range(2):
+        obj = _make_obj(z=9.0 + 2 * i)
+        obj.bbox_l, obj.bbox_t, obj.bbox_r, obj.bbox_b = 40, 20, 100, 50
+        targets.append(_targets_for([obj], KittiRTM3DDataset, image_hw=image_hw))
+    gts = {k: np.stack([t[k] for t in targets]) for k in targets[0]}
+    nprng = np.random.default_rng(4)
+    batch = dict(
+        images=jnp.asarray(nprng.standard_normal((2, *image_hw, 3)).astype(np.float32)),
+        gts={k: jnp.asarray(v) for k, v in gts.items()},
+        P2=jnp.asarray(np.tile(P2[None], (2, 1, 1))),
+        epoch=jnp.asarray(0.0, jnp.float32),  # rampup ~0: geometric terms off
+    )
+
+    n_steps = 150
+    tx = build_optimizer(edict(type_name='adam', keywords=edict(lr=3e-4),
+                               clipped_gradient_norm=1.0))
+    state = create_train_state(system, jax.random.PRNGKey(1), image_hw, tx)
+    step = PIPELINE_DICT['train_rtm3d'](system, tx, donate=False)
+
+    hms, whs, dims, totals = [], [], [], []
+    rng = jax.random.PRNGKey(11)
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        hms.append(float(np.asarray(metrics['hm_loss']).mean()))
+        whs.append(float(np.asarray(metrics['wh_loss']).mean()))
+        dims.append(float(np.asarray(metrics['dim_loss']).mean()))
+        totals.append(float(np.asarray(metrics['total']).mean()))
+    for name, series, factor in (('hm', hms, 0.5), ('wh', whs, 0.5),
+                                 ('dim', dims, 0.5), ('total', totals, 0.6)):
+        series = np.asarray(series)
+        assert np.all(np.isfinite(series)), name
+        assert series[-10:].mean() < factor * series[:10].mean() + 1e-6, (
+            name, series[:10].mean(), series[-10:].mean())

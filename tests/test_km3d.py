@@ -188,29 +188,45 @@ def test_km3d_monoflex_batched_predict_matches_single(name):
         np.testing.assert_allclose(bb[:, 7:], sb[:, 7:], atol=1e-4, rtol=1e-4)
 
 
-def test_rtm3d_data_parallel_grad_parity():
-    """8-device sharded vs 1-device unsharded train_rtm3d: identical update.
+@pytest.mark.parametrize('backbone', ['resnet', 'dla'])
+def test_rtm3d_data_parallel_grad_parity(backbone):
+    """8-device sharded vs 1-device unsharded rtm3d training: gradient parity.
 
     Exercises the nested gts target dict + the scalar `epoch` leaf through
-    shard_batch (which must replicate it), and asserts GRADIENT parity (the
-    post-step params), not just the loss scalar.
+    shard_batch (which must replicate it), and asserts RAW-GRADIENT parity
+    (pre-optimizer — the r2 version compared post-Adam params, whose
+    sqrt(g^2)-normalized first step amplifies ulp-level sign flips on
+    near-zero grads into full ±lr divergences).
+
+    Diagnosis recorded r3 (tools/diag_rtm3d_gradparity.py): the loss scalar
+    matches to ~8e-7 relative but raw grads diverge at ~2e-3..2e-2 of
+    grad-max (worst at the FIRST conv) for BOTH cores. The amplifiers are
+    genuine gradient DISCONTINUITIES crossed by SyncBN reduction-order ulps
+    (sharded vs unsharded batch means): the DCN's bilinear-corner floor()
+    (corner selection flips while the forward lerp weight -> 0, so the loss
+    stays continuous), ReLU kinks (~160k activations, a few land within an
+    ulp of 0), and Position_loss's near-singular LSQ backward at init. This
+    is inherent to batch-split execution of these models (the reference's
+    CUDA DDP included), NOT a sharding bug — so the assertion is
+    self-calibrating: permuting the batch on ONE device is mathematically
+    identical but changes reduction order the same way, and the sharded
+    divergence must not exceed a small multiple of that intrinsic noise
+    floor.
     """
     from visualdet3d_tpu.parallel import mesh as mesh_lib
-    from visualdet3d_tpu.pipelines.train_state import create_train_state
-    from visualdet3d_tpu.registry import PIPELINE_DICT
-    import visualdet3d_tpu.pipelines  # noqa: F401
-    from visualdet3d_tpu.solver import build_optimizer
+    from visualdet3d_tpu.models.heads import km3d_head as km3d_lib
 
     devices = jax.devices()
     assert len(devices) >= 8, 'conftest must force 8 CPU devices'
     m = mesh_lib.make_mesh(devices[:8])
 
     cfg = _km3d_cfg('KM3D')
+    if backbone == 'resnet':
+        cfg.backbone = edict(name='resnet', depth=18)
     system = DETECTOR_DICT['KM3D'](cfg)
     image_hw = (64, 160)
-    tx = build_optimizer(edict(type_name='adam', keywords=edict(lr=1e-3),
-                               clipped_gradient_norm=0.1))
-    state = create_train_state(system, jax.random.PRNGKey(0), image_hw, tx)
+    variables = system.init(jax.random.PRNGKey(0), image_hw)
+    params, batch_stats = variables['params'], variables['batch_stats']
 
     nprng = np.random.default_rng(3)
     targets = []
@@ -226,25 +242,55 @@ def test_rtm3d_data_parallel_grad_parity():
         P2=np.tile(P2[None], (8, 1, 1)),
         epoch=np.float32(5.0),
     )
-    step = PIPELINE_DICT['train_rtm3d'](system, tx, donate=False)
+
+    def loss_fn(p, images, g, P2b, epoch):
+        v = {'params': p, 'batch_stats': batch_stats}
+        output, new_state = system.net.apply(v, images, train=True,
+                                             mutable=['batch_stats'])
+        loss, _ = km3d_lib.km3d_loss(
+            output, g, P2b, jnp.asarray(epoch, jnp.float32),
+            image_hw[1] // 4, rampup_length=100)
+        return jnp.mean(loss), new_state['batch_stats']
+
+    gfn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
     sharded = mesh_lib.shard_batch(m, batch)
     assert len(sharded['epoch'].sharding.device_set) == 8  # replicated scalar
     assert sharded['images'].sharding.is_fully_replicated is False
-    state8 = mesh_lib.replicate(m, state)
-    new8, metrics8 = step(state8, sharded, jax.random.PRNGKey(7))
+    params8 = mesh_lib.replicate(m, params)
+    dense = jax.tree.map(jnp.asarray, batch)
 
-    new1, metrics1 = step(state, jax.tree.map(jnp.asarray, batch),
-                          jax.random.PRNGKey(7))
-    np.testing.assert_allclose(float(metrics8['total']),
-                               float(metrics1['total']), rtol=2e-4)
-    # gradient parity: post-update params equal leaf-by-leaf
-    diffs = jax.tree.map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b))), new8.params, new1.params)
-    worst = max(jax.tree.leaves(diffs))
-    assert worst < 5e-5, worst
-    # BN batch stats also match (GSPMD cross-replica mean == global mean)
-    bs_diffs = jax.tree.map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b))),
-        new8.batch_stats, new1.batch_stats)
-    assert max(jax.tree.leaves(bs_diffs)) < 1e-4
+    (val8, bs8), g8 = gfn(params8, sharded['images'], sharded['gts'],
+                          sharded['P2'], sharded['epoch'])
+    (val1, bs1), g1 = gfn(params, dense['images'], dense['gts'],
+                          dense['P2'], dense['epoch'])
+    # intrinsic noise floor: same device, batch reversed (identical math,
+    # different reduction order)
+    perm = {k: (jnp.flip(v, axis=0) if getattr(v, 'ndim', 0) >= 1 else v)
+            for k, v in dense.items() if k != 'gts'}
+    perm['gts'] = {k: jnp.flip(v, axis=0) for k, v in dense['gts'].items()}
+    (valp, _), gp = gfn(params, perm['images'], perm['gts'],
+                        perm['P2'], perm['epoch'])
+
+    def worst_abs(g_a, g_b):
+        diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))
+                                                if a.size else 0.0), g_a, g_b)
+        return max(jax.tree.leaves(diffs))
+
+    def grad_max(g):
+        return max(jax.tree.leaves(jax.tree.map(
+            lambda a: float(jnp.max(jnp.abs(a))) if a.size else 0.0, g)))
+
+    # loss scalar parity (tight)
+    np.testing.assert_allclose(float(val8), float(val1), rtol=2e-4)
+    np.testing.assert_allclose(float(valp), float(val1), rtol=2e-4)
+    # BN batch stats match (GSPMD cross-replica mean == global mean)
+    assert worst_abs(bs8, bs1) < 1e-4
+    # sharding adds no divergence beyond the intrinsic reduction-order noise
+    noise_floor = worst_abs(gp, g1)
+    sharded_div = worst_abs(g8, g1)
+    gmax = grad_max(g1)
+    assert sharded_div <= max(8.0 * noise_floor, 1e-5 * gmax), \
+        (backbone, sharded_div, noise_floor, gmax)
+    # absolute backstop: a wrong-loss/unsynced-grad bug would blow this
+    assert sharded_div <= 5e-2 * gmax, (backbone, sharded_div, gmax)

@@ -201,6 +201,50 @@ def test_modulated_deform_conv_matches_reference_formulation():
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=2e-4)
 
 
+def test_modulated_deform_conv_packed_bf16_path():
+    """bf16 + c_in=64 exercises the packed-u32 fused Pallas lerp-matmul
+    inference branch (_packed_conv; interpret mode on CPU). Asserts the
+    packed branch is actually taken and matches both the pair-gather path
+    (VD3D_DCN_IMPL=pairs) and the f32 reference within bf16 tolerance."""
+    import os
+    from visualdet3d_tpu.ops.deform_conv import (
+        _packed_ok, modulated_deform_conv_reference)
+    rng = np.random.default_rng(9)
+    b, h, w_, c = 1, 8, 16, 64
+    x32 = rng.standard_normal((b, h, w_, c)).astype(np.float32)
+    wt32 = (rng.standard_normal((3, 3, c, 64)) * 0.05).astype(np.float32)
+    off32 = rng.uniform(-3, 3, (b, h, w_, 18)).astype(np.float32)
+    msk32 = rng.uniform(0, 1, (b, h, w_, 9)).astype(np.float32)
+
+    assert _packed_ok(h * w_, c, 64, jnp.bfloat16), \
+        'fixture must hit the packed branch'
+
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    wt16 = jnp.asarray(wt32, jnp.bfloat16)
+    off16 = jnp.asarray(off32, jnp.bfloat16)
+    msk16 = jnp.asarray(msk32, jnp.bfloat16)
+
+    assert os.environ.get('VD3D_DCN_IMPL', 'packed') == 'packed'
+    packed = np.asarray(modulated_deform_conv(x16, off16, msk16, wt16)
+                        ).astype(np.float32)
+    os.environ['VD3D_DCN_IMPL'] = 'pairs'
+    try:
+        pairs = np.asarray(modulated_deform_conv(x16, off16, msk16, wt16)
+                           ).astype(np.float32)
+    finally:
+        os.environ.pop('VD3D_DCN_IMPL')
+    ref32 = np.asarray(modulated_deform_conv_reference(
+        jnp.asarray(x32), jnp.asarray(off32), jnp.asarray(msk32),
+        jnp.asarray(wt32)))
+
+    scale = np.abs(ref32).max()
+    # packed and pairs both consume identical bf16 inputs; their outputs may
+    # differ only by accumulation order / lerp formulation at bf16 ULP scale
+    np.testing.assert_allclose(packed, pairs, atol=0.03 * scale)
+    # and both must track the f32 reference within bf16 rounding of inputs
+    np.testing.assert_allclose(packed, ref32, atol=0.06 * scale)
+
+
 def test_modulated_deform_conv_is_differentiable():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((1, 5, 5, 2)).astype(np.float32))

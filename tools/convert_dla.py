@@ -24,6 +24,18 @@ import argparse
 import numpy as np
 
 
+class _TrackingDict(dict):
+    """state_dict wrapper recording which tensors the converter read."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.read = set()
+
+    def __getitem__(self, key):
+        self.read.add(key)
+        return super().__getitem__(key)
+
+
 def _conv(sd, name):
     return {'kernel': np.transpose(sd[name + '.weight'], (2, 3, 1, 0))}
 
@@ -75,7 +87,7 @@ def _convert_tree(sd, tprefix, params, stats, fpath):
 def convert(state_dict):
     """torch DLA state_dict (numpy values) -> {'params':…, 'batch_stats':…}
     matching visualdet3d_tpu.models.backbones.dla.DLA's tree."""
-    sd = state_dict
+    sd = _TrackingDict(state_dict)
     params, stats = {}, {}
     _put(params, ('base_layer',), _conv(sd, 'base_layer.0'))
     p, s = _bn(sd, 'base_layer.1')
@@ -89,9 +101,19 @@ def convert(state_dict):
         _put(params, (bn_i,), p)
         _put(stats, (bn_i,), s)
     for lvl in range(2, 6):
-        if f'level{lvl}.tree1.conv1.weight' in sd or \
-                f'level{lvl}.tree1.tree1.conv1.weight' in sd:
+        # presence test by prefix, not by fixed nesting depth — DLA-60/102/169
+        # have levels >= 3 at level3/4 (tree1.tree1.tree1....), which the
+        # depth-probing r2 version silently skipped
+        if any(k.startswith(f'level{lvl}.') for k in sd):
             _convert_tree(sd, f'level{lvl}', params, stats, (f'level{lvl}',))
+    # every backbone tensor must have been READ (dangling keys mean an
+    # unconverted submodule, e.g. a deeper Tree the walker missed)
+    if isinstance(sd, _TrackingDict):
+        leftovers = [k for k in sd
+                     if k not in sd.read
+                     and 'num_batches_tracked' not in k
+                     and not k.startswith('fc.')]
+        assert not leftovers, f'unconverted checkpoint keys: {leftovers[:8]}'
     return {'params': params, 'batch_stats': stats}
 
 

@@ -55,7 +55,13 @@ def hill_climb_batch(p2, box_2d, x3d, y3d, z3d, w3d, h3d, l3d, theta,
         best = np.where(active & neg_better, ol_neg, best)
         step = np.where(active & invalid, step * 0.5, step)
         active = step > r_lim
-    theta = np.mod(theta + np.pi, 2 * np.pi) - np.pi
+    # the reference wraps with the LITERAL 3.14 (subtracting 3.14*2) on the
+    # high side and +2*pi on the low side (hill_climbing.py:80-81); replicate
+    # exactly — it shifts thetas in (3.14, pi] by 0.0032 vs a true mod-2pi
+    while (theta > 3.14).any():
+        theta = np.where(theta > 3.14, theta - 3.14 * 2, theta)
+    while (theta < -3.14).any():
+        theta = np.where(theta < -3.14, theta + 2 * np.pi, theta)
     return theta, best
 
 

@@ -225,7 +225,11 @@ def get_bboxes(cls_preds: jnp.ndarray,
     k = min(pre_top_k, cls_preds.shape[0])
     neg_inf = jnp.finfo(max_score.dtype).min
     masked_scores = jnp.where(valid, max_score, neg_inf)
-    top_scores, order = jax.lax.top_k(masked_scores, k)
+    # approx_max_k at recall_target=1.0 is EXACT top-k lowered to the TPU
+    # partial-reduce TopK op (sorted descending); lax.top_k lowers to a full
+    # [N] sort (~1.25 ms at batch 16 in the r3 profile)
+    top_scores, order = jax.lax.approx_max_k(masked_scores, k,
+                                             recall_target=1.0)
     cand_valid = top_scores > neg_inf
 
     cand_anchors = anchors[order]
@@ -250,7 +254,11 @@ def get_bboxes(cls_preds: jnp.ndarray,
     iou = calc_iou(nms_boxes, nms_boxes)
     keep = _greedy_suppress(iou, cand_valid, nms_iou_thr)
     kept_rank = jnp.where(keep, jnp.arange(k), k)
-    sel = jnp.argsort(kept_rank)[:max_detections]
+    # smallest kept_rank first == survivors in score order; lax.top_k of the
+    # negated rank replaces a full [K] argsort (identical result: ranks are
+    # distinct for survivors and top_k tie-breaks padding by lowest index,
+    # exactly argsort's stable order)
+    _, sel = jax.lax.top_k(-kept_rank, max_detections)
     keep_valid = keep[sel]
     return (top_scores[sel] * keep_valid,
             boxes[sel],

@@ -190,8 +190,14 @@ def decode_depth_from_keypoints(keypoints: jnp.ndarray, dimensions: jnp.ndarray,
     calib [*, 3/4, 4] -> [*, 3] depths (center, diag-02 group, diag-13 group)."""
     pred_h = jax.lax.stop_gradient(dimensions[..., 1])
     center_height = keypoints[..., 8, 1] - keypoints[..., 9, 1]
-    corner_02 = keypoints[..., (7, 0), 1] - keypoints[..., (3, 4), 1]
-    corner_13 = keypoints[..., (2, 1), 1] - keypoints[..., (6, 5), 1]
+    # bottom-corner minus top-corner image heights, per diagonal group
+    # (reference group0_index=[(7,3),(0,4)], group1_index=[(2,6),(1,5)]:
+    # corner_02 = kp[(7,3)].y - kp[(0,4)].y, corner_13 = kp[(2,6)].y -
+    # kp[(1,5)].y — pairing a bottom corner with the top corner ABOVE it;
+    # r2 paired bottom-with-bottom, collapsing the height to ~0 and clamping
+    # every group depth to max_depth — caught by the r3 loss parity test)
+    corner_02 = keypoints[..., (7, 3), 1] - keypoints[..., (0, 4), 1]
+    corner_13 = keypoints[..., (2, 6), 1] - keypoints[..., (1, 5), 1]
 
     f = calib[..., 0, 0]
     center_depth = f * pred_h / (jax.nn.relu(center_height) * down_ratio + eps)
