@@ -245,6 +245,34 @@ def test_modulated_deform_conv_packed_bf16_path():
     np.testing.assert_allclose(packed, ref32, atol=0.06 * scale)
 
 
+def test_modulated_deform_conv_packed_f32_path():
+    """f32 + c_in%32==0 exercises the 4C-corner fused Pallas path
+    (_packed_f32_conv; interpret mode on CPU): exact vs the naive corner
+    formulation, including far-out offsets and gradients (pairs-recompute
+    backward)."""
+    from visualdet3d_tpu.ops.deform_conv import (
+        _packed_f32_ok, modulated_deform_conv_reference)
+    rng = np.random.default_rng(10)
+    b, h, w_, c = 1, 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((b, h, w_, c)).astype(np.float32))
+    wt = jnp.asarray((rng.standard_normal((3, 3, c, 48)) * 0.1).astype(np.float32))
+    off = jnp.asarray(rng.uniform(-4, 4, (b, h, w_, 18)).astype(np.float32))
+    msk = jnp.asarray(rng.uniform(0, 1, (b, h, w_, 9)).astype(np.float32))
+
+    assert _packed_f32_ok(h * w_, c, 48, jnp.float32), \
+        'fixture must hit the f32 packed branch'
+    got = np.asarray(modulated_deform_conv(x, off, msk, wt))
+    ref = np.asarray(modulated_deform_conv_reference(x, off, msk, wt))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+    # gradients flow through the pairs-recompute custom VJP
+    g_got = jax.grad(lambda o: jnp.sum(
+        modulated_deform_conv(x, o, msk, wt) ** 2))(off)
+    g_ref = jax.grad(lambda o: jnp.sum(
+        modulated_deform_conv_reference(x, o, msk, wt) ** 2))(off)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=2e-4)
+
+
 def test_modulated_deform_conv_is_differentiable():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((1, 5, 5, 2)).astype(np.float32))

@@ -50,33 +50,50 @@ def correlation_volume_xla(left: jnp.ndarray, right: jnp.ndarray, num_disp: int)
     return jnp.stack(cols, axis=-1)
 
 
+def _pick_unroll(num_disp: int) -> int:
+    for u in (8, 6, 4, 3, 2):
+        if num_disp % u == 0:
+            return u
+    return 1
+
+
 def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
     """Blocks: l/r [TR, W, C] -> o [D, TR, W].
 
-    Two VMEM-shape lessons baked in (both OOM'd scoped VMEM on real v5e):
+    VMEM-shape lessons baked in (all paid for on real v5e):
     * each per-disparity slice is a 2-D [TR, W] tile with W on lanes — a
       [TR, W, 1] temporary pads its lane dim 1 -> 128 (128x blowup);
-    * the disparity loop is a fori_loop, not a Python unroll — Mosaic gives
-      every unrolled iteration's temporaries distinct stack slots (24 x
-      ~1.3 MB), while the loop body's slots are reused.
+    * a fully Python-unrolled disparity loop gives every iteration's
+      temporaries distinct stack slots (24 x ~1.3 MB -> OOM), while
+      fori_loop bodies reuse slots;
+    * a DYNAMIC-shift pltpu.roll lowers to ~log2(W) masked shift stages
+      (~9x the shuffle work of a static roll) — the r1 all-dynamic loop
+      spent ~4 ms/call in rolls alone at the stride-4 shape. So the loop is
+      two-level: a fori outer carrying the r window pre-rotated by
+      ``unroll`` (one STATIC roll per outer step), and a Python-unrolled
+      inner with STATIC shifts 0..unroll-1 (unroll x [TR, W, C] f32
+      temporaries — sized to fit scoped VMEM via the block-row budget).
     """
     # DMA in the input dtype (bf16 halves HBM traffic) but compute/rotate in
-    # f32 — Mosaic's dynamic rotate only supports 32-bit data
+    # f32 — Mosaic's rotate only supports 32-bit data
     l = l_ref[:].astype(jnp.float32)  # [TR, W, C]
-    r = r_ref[:].astype(jnp.float32)
+    r0 = r_ref[:].astype(jnp.float32)
     scale = jnp.asarray(1.0 / c, jnp.float32)
     tr, w, _ = l.shape
     w_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 1)
+    unroll = _pick_unroll(num_disp)
 
-    def body(d, _):
-        # r_sh[t, w] = r[t, (w - d) mod W]; entries w < d are masked below
-        r_sh = pltpu.roll(r, shift=d, axis=1)
-        col = jnp.sum(l * r_sh, axis=-1) * scale  # [TR, W]
-        col = jnp.where(w_ids >= d, col, 0.0)
-        o_ref[d] = col.astype(o_ref.dtype)
-        return 0
+    def outer(i, r_base):
+        d0 = i * unroll
+        for j in range(unroll):
+            # r_sh[t, w] = r[t, (w - (d0+j)) mod W]; w < d masked below
+            r_sh = pltpu.roll(r_base, shift=j, axis=1) if j else r_base
+            col = jnp.sum(l * r_sh, axis=-1) * scale  # [TR, W]
+            col = jnp.where(w_ids >= d0 + j, col, 0.0)
+            o_ref[pl.ds(d0 + j, 1)] = col.astype(o_ref.dtype)[None]
+        return pltpu.roll(r_base, shift=unroll, axis=1)
 
-    jax.lax.fori_loop(0, num_disp, body, 0)
+    jax.lax.fori_loop(0, num_disp // unroll, outer, r0)
 
 
 @functools.partial(jax.jit, static_argnames=('num_disp', 'interpret'))
@@ -88,17 +105,26 @@ def correlation_volume_pallas(left: jnp.ndarray, right: jnp.ndarray, num_disp: i
     l2 = left.reshape(bh, w, c)
     r2 = right.reshape(bh, w, c)
 
-    # rows per block: two double-buffered input tiles + one output tile must
-    # fit comfortably in the ~16 MB of VMEM. Mosaic requires the block's
-    # sublane dim (rows, second-to-last of the output block) to be a multiple
-    # of 8 or the full dimension.
-    bytes_per_row = (2 * 2 * w * c + 2 * w * num_disp) * 4
+    # rows per block: two double-buffered input tiles, the f32 l/r_base
+    # upcasts plus `unroll` static-shift r_sh temporaries (distinct stack
+    # slots), and the output tile must fit comfortably in ~16 MB of VMEM.
+    # Mosaic requires the block's sublane dim (rows, second-to-last of the
+    # output block) to be a multiple of 8 or the full dimension.
+    unroll = _pick_unroll(num_disp)
+    itemsize = jnp.dtype(left.dtype).itemsize
+    bytes_per_row = (2 * 2 * w * c * itemsize + (2 + unroll) * 4 * w * c
+                     + 2 * w * num_disp * 4)
     budget_rows = max(1, (4 * 1024 * 1024) // max(bytes_per_row, 1))
-    tr = bh
-    for cand in range(min(bh, budget_rows), 0, -1):
+    tr = None
+    for cand in range(min(bh, budget_rows), 7, -1):
         if cand % 8 == 0 and bh % cand == 0:
             tr = cand
             break
+    if tr is None:
+        # fat rows blow the soft budget at every multiple of 8: take the
+        # smallest legal tile rather than falling back to the whole array
+        # (TR = BH OOM'd scoped VMEM at [72, 320, 64] f32, batch 1)
+        tr = 8 if bh % 8 == 0 else bh
 
     grid = (bh // tr,)
     out = pl.pallas_call(

@@ -170,9 +170,33 @@ def _pick_pixrows(hw: int, c: int, cout: int,
 
 
 def _packed_ok(hw: int, c_in: int, c_out: int, dtype) -> bool:
-    if dtype != jnp.bfloat16 or c_in % 64 or c_in > 512:
+    """bf16 packed-u32 path gate. c_in % 64 keeps the (2C) gathered row
+    lane-aligned (2C % 128 == 0); the VMEM fit itself is what _pick_pixrows
+    encodes (the r2 c_in <= 512 gate was a redundant safety margin — lifted
+    r3, the 1408-channel head DCN now takes this path too)."""
+    if dtype != jnp.bfloat16 or c_in % 64:
         return False
     return (_pick_pixrows(hw, c_in, c_out) is not None
+            and os.environ.get('VD3D_DCN_IMPL', 'packed') == 'packed')
+
+
+def _pick_pixrows_f32(hw: int, c: int, cout: int,
+                      budget: int = 8 * 2 ** 20) -> int | None:
+    """Row budget for the f32 4C-corner kernel: [TP, 4C] f32 input block,
+    [TP, 4] weights (lane-padded to 128), ~4 [TP, 4C] f32 temporaries, the
+    f32 accumulator and bf16-free output."""
+    per_row = ((4 * c) * 4 + 128 * 4 + 4 * (4 * c) * 4
+               + max(cout, 128) * 4 + max(cout, 128) * 4)
+    for tp in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if hw % tp == 0 and tp * per_row <= budget:
+            return tp
+    return None
+
+
+def _packed_f32_ok(hw: int, c_in: int, c_out: int, dtype) -> bool:
+    if dtype != jnp.float32 or c_in % 32:  # 4C % 128 == 0 lane alignment
+        return False
+    return (_pick_pixrows_f32(hw, c_in, c_out) is not None
             and os.environ.get('VD3D_DCN_IMPL', 'packed') == 'packed')
 
 
@@ -216,6 +240,102 @@ def _lerp_matmul_pallas(g2, wts, wk, b, hw):
             bytes_accessed=b * hw * kt * (2 * c * 4 + 16) + b * hw * cout * 2),
         interpret=interpret,
     )(g2, wts, wk)
+
+
+def _lerp_matmul_f32_kernel(g_ref, w_ref, wk_ref, o_ref, acc, *, c: int, k: int):
+    """f32 variant of _lerp_matmul_kernel: the gathered row holds all four
+    corners side by side ([v00 | v01 | v10 | v11], 4C f32 lanes) instead of
+    bit-packed u32 pairs; same lerp + tap-matmul + f32 accumulation."""
+    kk = pl.program_id(1)
+    g = g_ref[:]                                         # [TP, 4C] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    blk = lane // c                                      # 0..3 corner block
+    wx = jnp.where((blk == 0) | (blk == 2), w_ref[:, 0:1], w_ref[:, 1:2])
+    wy = jnp.where(blk < 2, w_ref[:, 2:3], w_ref[:, 3:4])
+    vw = g * wx * wy
+    sampled = (vw[:, :c] + vw[:, c:2 * c] + vw[:, 2 * c:3 * c]
+               + vw[:, 3 * c:])                          # [TP, C] f32
+
+    @pl.when(kk == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jnp.dot(sampled, wk_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(kk == k - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def _lerp_matmul_f32_pallas(g4, wts, wk, b, hw):
+    """g4 [B*K*HW, 4C] f32, wts [B*K*HW, 4] f32, wk [K, C, Cout] f32
+    -> [B*HW, Cout] f32 (rows taps-outer, same convention as the u32 path)."""
+    kt, c, cout = wk.shape
+    tp = _pick_pixrows_f32(hw, c, cout)
+    assert tp is not None, 'caller must check _packed_f32_ok first'
+    ppb = hw // tp
+    row_map = lambda t, kk: ((t // ppb) * (kt * ppb) + kk * ppb + (t % ppb), 0)
+    interpret = jax.default_backend() != 'tpu'
+    return pl.pallas_call(
+        functools.partial(_lerp_matmul_f32_kernel, c=c, k=kt),
+        out_shape=jax.ShapeDtypeStruct((b * hw, cout), jnp.float32),
+        grid=(b * ppb, kt),
+        in_specs=[
+            pl.BlockSpec((tp, 4 * c), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 4), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, cout), lambda t, kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, cout), lambda t, kk: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tp, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hw * kt * c * cout + 12 * b * hw * kt * c,
+            transcendentals=0,
+            bytes_accessed=b * hw * kt * (4 * c * 4 + 16) + b * hw * cout * 4),
+        interpret=interpret,
+    )(g4, wts, wk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _packed_f32_conv(flat, start, fx, fym, my, wk, dims):
+    """f32 fused bilinear + tap matmul (inference): one (1, 4C) row slice
+    gathers all four corners, the Pallas kernel lerps + matmuls from VMEM.
+    Same argument convention as _packed_conv."""
+    out, _ = _packed_f32_conv_fwd(flat, start, fx, fym, my, wk, dims)
+    return out
+
+
+def _packed_f32_conv_fwd(flat, start, fx, fym, my, wk, dims):
+    wp, hw = dims
+    b, r, c = flat.shape
+    n = start.shape[1]
+    down = jnp.concatenate([flat[:, wp:], jnp.zeros_like(flat[:, :wp])], axis=1)
+    right = lambda a: jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])],
+                                      axis=1)
+    # [v00 | v01 | v10 | v11] in one 4C row: the gather output IS the
+    # kernel's input layout (no reshape copies)
+    src = jnp.concatenate([flat, right(flat), down, right(down)], axis=-1)
+    g = _gather_rows(src, start)                          # [B, N, 4C]
+    wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.float32)
+    out = _lerp_matmul_f32_pallas(g.reshape(b * n, 4 * c),
+                                  wts.reshape(b * n, 4),
+                                  wk.astype(jnp.float32), b, hw)
+    return out.reshape(b, hw, wk.shape[-1]), (flat, start, fx, fym, my, wk)
+
+
+def _packed_f32_conv_bwd(dims, res, ct):
+    wp, hw = dims
+    flat, start, fx, fym, my, wk = res
+    _, vjp = jax.vjp(
+        lambda fl, f1, f2, f3, w_: _pairs_conv_ref(fl, start, f1, f2, f3, w_,
+                                                   wp, hw),
+        flat, fx, fym, my, wk)
+    d_flat, d_fx, d_fym, d_my, d_wk = vjp(ct.astype(flat.dtype))
+    return d_flat, None, d_fx, d_fym, d_my, d_wk
+
+
+_packed_f32_conv.defvjp(_packed_f32_conv_fwd, _packed_f32_conv_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -338,13 +458,18 @@ def modulated_deform_conv(x: jnp.ndarray,
     start = (y0p * wp + x0p).reshape(b, -1, 1)            # [B, N*K, 1]
     n = ho * wo * k
 
-    # the packed path is inference-only: its fwd is ~1.8x the pair-gather's,
-    # but its backward (recompute via the pairs formulation) is slower, so
+    # the packed paths are inference-only: their fwd beats the pair-gather's
+    # (bf16 u32-packing halves the gather; f32 fuses lerp+matmul in VMEM),
+    # but their backward (recompute via the pairs formulation) is slower, so
     # training sticks to pairs
-    if not train and _packed_ok(ho * wo, c_in, c_out, f):
+    use_p16 = not train and _packed_ok(ho * wo, c_in, c_out, f)
+    use_p32 = (not train and not use_p16
+               and _packed_f32_ok(ho * wo, c_in, c_out, f))
+    if use_p16 or use_p32:
         perm = (0, 3, 1, 2)  # [B,Ho,Wo,K] -> [B,K,Ho,Wo]: taps-outer rows
         startk = (y0p * wp + x0p).transpose(perm).reshape(b, n, 1)
-        out = _packed_conv(
+        packed_fn = _packed_conv if use_p16 else _packed_f32_conv
+        out = packed_fn(
             flat, startk,
             fx.transpose(perm).reshape(b, n),
             (fy * mask).transpose(perm).reshape(b, n),
