@@ -273,6 +273,50 @@ def test_modulated_deform_conv_packed_f32_path():
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=2e-4)
 
 
+def test_modulated_deform_conv_premul_path():
+    """bf16 channel-REDUCING DCN (c_out < c_in) exercises the pre-multiply
+    branch (_premul_conv: lerp(X) @ Wk == lerp(X @ Wk), gathered in
+    output-channel space). Parity vs the f32 naive formulation within bf16
+    tolerance + grads via the pairs-recompute VJP."""
+    from visualdet3d_tpu.ops.deform_conv import (
+        _premul_ok, modulated_deform_conv_reference)
+    rng = np.random.default_rng(11)
+    b, h, w_, c, cout = 1, 8, 16, 128, 64
+    x32 = rng.standard_normal((b, h, w_, c)).astype(np.float32)
+    wt32 = (rng.standard_normal((3, 3, c, cout)) * 0.05).astype(np.float32)
+    off32 = rng.uniform(-3, 3, (b, h, w_, 18)).astype(np.float32)
+    msk32 = rng.uniform(0, 1, (b, h, w_, 9)).astype(np.float32)
+
+    import os
+    os.environ['VD3D_DCN_PREMUL'] = '1'  # opt-in path (off by default)
+    try:
+        assert _premul_ok(h * w_, c, cout, jnp.bfloat16), \
+            'fixture must hit the premul branch'
+        _run_premul_case(x32, wt32, off32, msk32)
+    finally:
+        os.environ.pop('VD3D_DCN_PREMUL', None)
+
+
+def _run_premul_case(x32, wt32, off32, msk32):
+    from visualdet3d_tpu.ops.deform_conv import modulated_deform_conv_reference
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    wt16 = jnp.asarray(wt32, jnp.bfloat16)
+    off16 = jnp.asarray(off32, jnp.bfloat16)
+    msk16 = jnp.asarray(msk32, jnp.bfloat16)
+    got = np.asarray(modulated_deform_conv(x16, off16, msk16, wt16)
+                     ).astype(np.float32)
+    ref = np.asarray(modulated_deform_conv_reference(
+        jnp.asarray(x32), jnp.asarray(off32), jnp.asarray(msk32),
+        jnp.asarray(wt32)))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=0.08 * scale)
+
+    g = jax.grad(lambda o: jnp.sum(
+        modulated_deform_conv(x16, o, msk16, wt16).astype(jnp.float32) ** 2))(
+        off16)
+    assert np.all(np.isfinite(np.asarray(g, np.float32)))
+
+
 def test_modulated_deform_conv_is_differentiable():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((1, 5, 5, 2)).astype(np.float32))

@@ -138,9 +138,15 @@ def _lerp_matmul_kernel(g_ref, w_ref, wk_ref, o_ref, acc, *, c: int, k: int):
     g = g_ref[:]
     lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
     hi = jax.lax.bitcast_convert_type(g & jnp.uint32(0xFFFF0000), jnp.float32)
-    v = lo * w_ref[:, 2:3] + hi * w_ref[:, 3:4]
+    # lerp weights arrive bf16: the producer's [N, 4] operand needs a
+    # transposed layout copy before the custom call (stack-minor vs
+    # row-major); bf16 halves that copy (5 x 3.5 -> ~1.7 ms at the KM3D
+    # batch-16 stride-4 shape) and the weights carry bf16 precision anyway
+    # (fy/fx are computed in the input dtype upstream)
+    wq = w_ref[:].astype(jnp.float32)
+    v = lo * wq[:, 2:3] + hi * wq[:, 3:4]
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    wx = jnp.where(lane < c, w_ref[:, 0:1], w_ref[:, 1:2])
+    wx = jnp.where(lane < c, wq[:, 0:1], wq[:, 1:2])
     vw = v * wx
     sampled = (vw[:, :c] + vw[:, c:]).astype(jnp.bfloat16)   # [TP, C]
 
@@ -297,6 +303,132 @@ def _lerp_matmul_f32_pallas(g4, wts, wk, b, hw):
     )(g4, wts, wk)
 
 
+def _lerp_accum_kernel(g_ref, w_ref, o_ref, acc, *, c: int, k: int):
+    """Lerp-only variant of _lerp_matmul_kernel for the PRE-MULTIPLIED
+    table: rows are already in output-channel space, so the kernel just
+    unpacks + lerps + accumulates the K taps in f32."""
+    kk = pl.program_id(1)
+    g = g_ref[:]
+    lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(g & jnp.uint32(0xFFFF0000), jnp.float32)
+    wq = w_ref[:].astype(jnp.float32)
+    v = lo * wq[:, 2:3] + hi * wq[:, 3:4]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    wx = jnp.where(lane < c, wq[:, 0:1], wq[:, 1:2])
+    vw = v * wx
+    sampled = vw[:, :c] + vw[:, c:]                     # [TP, Cout] f32
+
+    @pl.when(kk == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += sampled
+
+    @pl.when(kk == k - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _premul_conv(flat, startk, fx, fym, my, wk, dims):
+    """Channel-reducing DCNv2: multiply by the tap weights BEFORE the
+    gather. Bilinear sampling is linear in the gathered rows, so
+    lerp(X) @ Wk == lerp(X @ Wk) exactly (up to one extra bf16 rounding of
+    the pre-multiplied table); gathering in output-channel space cuts the
+    per-value-bound gather by c_in / c_out (2-8x on the DLA proj DCNs).
+
+    flat: [B, R, C_in] bf16; startk: [B, K*HW, 1] taps-outer row indices;
+    fx/fym/my: [B, K*HW]; wk: [K, C_in, C_out]. Returns [B, HW, C_out] bf16.
+    """
+    out, _ = _premul_conv_fwd(flat, startk, fx, fym, my, wk, dims)
+    return out
+
+
+def _premul_conv_fwd(flat, startk, fx, fym, my, wk, dims):
+    return (_premul_conv_impl(flat, startk, fx, fym, my, wk, dims),
+            (flat, startk, fx, fym, my, wk))
+
+
+def _premul_conv_bwd(dims, res, ct):
+    wp, hw = dims
+    flat, startk, fx, fym, my, wk = res
+    _, vjp = jax.vjp(
+        lambda fl, f1, f2, f3, w_: _pairs_conv_ref(fl, startk, f1, f2, f3, w_,
+                                                   wp, hw),
+        flat, fx, fym, my, wk)
+    d_flat, d_fx, d_fym, d_my, d_wk = vjp(ct.astype(flat.dtype))
+    return d_flat, None, d_fx, d_fym, d_my, d_wk
+
+
+def _premul_conv_impl(flat, startk, fx, fym, my, wk, dims):
+    wp, hw = dims
+    b, r, c_in = flat.shape
+    kt, _, cout = wk.shape
+    n = startk.shape[1]
+    # per-tap dense projection of the padded table: [B, R, K*Cout]
+    y = jnp.einsum('brc,kco->brko', flat, wk.astype(flat.dtype),
+                   preferred_element_type=jnp.bfloat16)
+    y = y.astype(jnp.bfloat16)
+    # pack vertical bf16 pairs into u32 and stack the (x0, x0+1) columns —
+    # same layout trick as _packed_conv_fwd, per tap
+    lo = jax.lax.bitcast_convert_type(y, jnp.uint16).astype(jnp.uint32)
+    down = jnp.concatenate([lo[:, wp:], jnp.zeros_like(lo[:, :wp])], axis=1)
+    packed = lo | (down << 16)                          # [B, R, K, Cout] u32
+    right = jnp.concatenate([packed[:, 1:], jnp.zeros_like(packed[:, :1])],
+                            axis=1)
+    src = jnp.concatenate([packed, right], axis=-1)     # [B, R, K, 2Cout]
+    src = src.transpose(0, 2, 1, 3).reshape(b * kt, r, 2 * cout)
+    # taps-outer start rows [B, K, HW] -> per-(b, k) tables
+    g = _gather_rows(src, startk.reshape(b * kt, hw, 1))  # [B*K, HW, 2Cout]
+    wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.bfloat16)
+
+    tp = _pick_pixrows(hw, cout, cout)
+    assert tp is not None, 'caller must check _premul_ok first'
+    ppb = hw // tp
+    row_map = lambda t, kk: ((t // ppb) * (kt * ppb) + kk * ppb + (t % ppb), 0)
+    interpret = jax.default_backend() != 'tpu'
+    out = pl.pallas_call(
+        functools.partial(_lerp_accum_kernel, c=cout, k=kt),
+        out_shape=jax.ShapeDtypeStruct((b * hw, cout), jnp.bfloat16),
+        grid=(b * ppb, kt),
+        in_specs=[
+            pl.BlockSpec((tp, 2 * cout), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 4), row_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tp, cout), lambda t, kk: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tp, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * hw * kt * cout,
+            transcendentals=0,
+            bytes_accessed=b * hw * kt * (2 * cout * 4 + 8)
+            + b * hw * cout * 2),
+        interpret=interpret,
+    )(g.reshape(b * kt * hw, 2 * cout), wts.reshape(b * n, 4))
+    return out.reshape(b, hw, cout)
+
+
+_premul_conv.defvjp(_premul_conv_fwd, _premul_conv_bwd)
+
+
+def _premul_ok(hw: int, c_in: int, c_out: int, dtype) -> bool:
+    """Pre-multiply gate — OFF by default (VD3D_DCN_PREMUL=1 to enable).
+
+    Measured on v5e (KM3D batch 16, r3): the XLA gather at these shapes is
+    per-SLICE bound (~10-13 ns per gathered row, NOT per value), so halving
+    the row width only cut the stride-8 proj gathers 14.6 -> 11.8 ms while
+    the pre-multiplied table construction (einsum + pack + per-tap
+    transpose) added ~26 ms — a net LOSS (494 -> 515 ms end to end). Kept
+    behind a flag because the trade flips wherever c_in/c_out >= ~4 with
+    small spatial extents."""
+    if os.environ.get('VD3D_DCN_PREMUL') != '1':
+        return False
+    if dtype != jnp.bfloat16 or c_out % 64 or c_out >= c_in:
+        return False
+    return (_pick_pixrows(hw, c_out, c_out) is not None
+            and os.environ.get('VD3D_DCN_IMPL', 'packed') == 'packed')
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _packed_f32_conv(flat, start, fx, fym, my, wk, dims):
     """f32 fused bilinear + tap matmul (inference): one (1, 4C) row slice
@@ -370,7 +502,7 @@ def _packed_conv_fwd(flat, start, fx, fym, my, wk, dims):
                             axis=1)
     src = jnp.concatenate([packed, right], axis=-1)   # [B, R, 2C] u32
     g = _gather_rows(src, start)                      # [B, N, 2C] u32
-    wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.float32)
+    wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.bfloat16)
     out = _lerp_matmul_pallas(g.reshape(b * n, 2 * c),
                               wts.reshape(b * n, 4),
                               wk.astype(jnp.bfloat16), b, hw)
@@ -462,13 +594,18 @@ def modulated_deform_conv(x: jnp.ndarray,
     # (bf16 u32-packing halves the gather; f32 fuses lerp+matmul in VMEM),
     # but their backward (recompute via the pairs formulation) is slower, so
     # training sticks to pairs
-    use_p16 = not train and _packed_ok(ho * wo, c_in, c_out, f)
-    use_p32 = (not train and not use_p16
+    use_pre = not train and _premul_ok(ho * wo, c_in, c_out, f)
+    use_p16 = (not train and not use_pre
+               and _packed_ok(ho * wo, c_in, c_out, f))
+    use_p32 = (not train and not use_pre and not use_p16
                and _packed_f32_ok(ho * wo, c_in, c_out, f))
-    if use_p16 or use_p32:
+    if use_pre or use_p16 or use_p32:
         perm = (0, 3, 1, 2)  # [B,Ho,Wo,K] -> [B,K,Ho,Wo]: taps-outer rows
         startk = (y0p * wp + x0p).transpose(perm).reshape(b, n, 1)
-        packed_fn = _packed_conv if use_p16 else _packed_f32_conv
+        if use_pre:
+            packed_fn = _premul_conv
+        else:
+            packed_fn = _packed_conv if use_p16 else _packed_f32_conv
         out = packed_fn(
             flat, startk,
             fx.transpose(perm).reshape(b, n),
