@@ -1054,6 +1054,86 @@ class TestHillClimbingParity:
 
 
 # ---------------------------------------------------------------------------
+# 7d. Monodepth self-supervised loss
+# ---------------------------------------------------------------------------
+
+
+class TestGridSampleParity:
+    """ops/sampling.grid_sample vs torch.nn.functional.grid_sample across
+    all (align_corners, padding_mode) combinations incl. far-out-of-range
+    grid points. Pins the r3 fix: 'zeros' zeroes each OOB corner TAP, not
+    the whole sample."""
+
+    @pytest.mark.parametrize('align_corners', [False, True])
+    @pytest.mark.parametrize('padding_mode', ['zeros', 'border'])
+    def test_matches_torch(self, align_corners, padding_mode):
+        import torch.nn.functional as F
+        from visualdet3d_tpu.ops.sampling import grid_sample
+        rng = np.random.default_rng(5)
+        b, h, w, c = 2, 8, 12, 3
+        img = rng.uniform(0, 1, (b, h, w, c)).astype(np.float32)
+        grid = rng.uniform(-1.3, 1.3, (b, 6, 9, 2)).astype(np.float32)
+        ref = F.grid_sample(torch.tensor(np.moveaxis(img, -1, 1)),
+                            torch.tensor(grid), mode='bilinear',
+                            padding_mode=padding_mode,
+                            align_corners=align_corners)
+        ref = np.moveaxis(ref.numpy(), 1, -1)
+        got = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                     padding_mode=padding_mode,
+                                     align_corners=align_corners))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+class TestMonodepthLossParity:
+    """Full monodepth-style loss (SSIM + edge-aware smoothness + L-R
+    consistency over a 4-scale disparity pyramid) vs the reference
+    MonodepthLoss.forward (monodepth_loss.py:6-199)."""
+
+    def test_self_supervised_loss(self):
+        mod = reference_shim.import_ref(
+            'visualDet3D.networks.heads.monodepth_loss')
+        from visualdet3d_tpu.models.heads.monodepth_loss import (
+            monodepth_self_supervised_loss)
+
+        rng = np.random.default_rng(21)
+        b, h, w = 2, 32, 64
+        left = rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+        right = rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+        disps = [
+            (rng.uniform(0, 0.03, (b, h // 2 ** i, w // 2 ** i, 2))
+             ).astype(np.float32)
+            for i in range(4)]
+
+        ref_loss_mod = mod.MonodepthLoss(n=4, SSIM_w=0.85,
+                                         disp_gradient_w=1.0, lr_w=1.0)
+        to_nchw = lambda a: torch.tensor(np.moveaxis(a, -1, 1))
+        with torch.no_grad():
+            ref = float(ref_loss_mod(
+                [to_nchw(d) for d in disps],
+                (to_nchw(left), to_nchw(right))))
+
+        ours = float(monodepth_self_supervised_loss(
+            [jnp.asarray(d) for d in disps],
+            jnp.asarray(left), jnp.asarray(right)))
+        np.testing.assert_allclose(ours, ref, rtol=5e-3)
+
+    def test_depth_evaluator_errors(self):
+        """KITTI depth metrics (mae/rmse/inverse/log/SI-log/relative) vs the
+        reference per-pixel accumulation loop (evaluate_depth.py:6-82)."""
+        mod = reference_shim.import_ref(
+            'visualDet3D.evaluator.kitti_depth_prediction.evaluate_depth')
+        from visualdet3d_tpu.evaluator.kitti_depth.evaluate_depth import (
+            compute_errors)
+        rng = np.random.default_rng(33)
+        gt = rng.uniform(0, 60, (48, 96))
+        gt[rng.random((48, 96)) < 0.6] = 0.0   # sparse GT
+        pred = np.clip(gt + rng.normal(0, 2, (48, 96)), 0.05, None)
+        ref = np.asarray(mod.compute_errors(gt, pred))
+        ours = np.asarray(compute_errors(gt, pred))
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
 # 8. Full KITTI AP evaluator
 # ---------------------------------------------------------------------------
 

@@ -29,6 +29,10 @@ def apply_disparity(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     """Warp img by a horizontal disparity field (normalised [0,1] units).
 
     img: [B, H, W, C]; disp: [B, H, W, 1]. reference monodepth_loss.py:44-60.
+    The reference calls F.grid_sample WITHOUT align_corners, i.e. the
+    torch>=1.3 default False (its base grid is linspace(0,1) pixel-exact
+    only under True — a known quirk of the monodepth lineage); replicated
+    verbatim for parity (r3 golden test pins it).
     """
     b, h, w, _ = img.shape
     xs = jnp.linspace(0, 1, w)
@@ -37,7 +41,7 @@ def apply_disparity(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     y_base = jnp.broadcast_to(ys[None, :, None], (b, h, w))
     flow = jnp.stack([x_base + disp[..., 0], y_base], axis=-1)
     return grid_sample(img, 2.0 * flow - 1.0, padding_mode='zeros',
-                       align_corners=True)
+                       align_corners=False)
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -89,12 +93,38 @@ def si_log_loss(depth_prediction: jnp.ndarray, reshaped_gt: jnp.ndarray,
     return jnp.sum(diff ** 2) / num - si_lambda * (jnp.sum(diff) / num) ** 2
 
 
+def _resize_align_corners(img: jnp.ndarray, nh: int, nw: int) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True (out[i] samples the input at
+    i*(n_in-1)/(n_out-1)) — matches the reference's F.interpolate(...,
+    align_corners=True) (monodepth_loss.py:22-26), which jax.image.resize
+    (half-pixel centers) does not. Implemented as two small interpolation
+    matrices applied on the MXU."""
+    b, h, w, c = img.shape
+
+    def weight(n_out, n_in):
+        if n_out == 1:
+            m = jnp.zeros((1, n_in)).at[0, 0].set(1.0)
+            return m
+        pos = jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+        lo = jnp.floor(pos).astype(jnp.int32)
+        f = (pos - lo).astype(img.dtype)
+        hi = jnp.clip(lo + 1, 0, n_in - 1)
+        rows = jnp.arange(n_out)
+        m = jnp.zeros((n_out, n_in), img.dtype)
+        m = m.at[rows, lo].add(1.0 - f)
+        m = m.at[rows, hi].add(f)
+        return m
+
+    out = jnp.einsum('yh,bhwc->bywc', weight(nh, h), img)
+    return jnp.einsum('xw,bywc->byxc', weight(nw, w), out)
+
+
 def scale_pyramid(img: jnp.ndarray, num_scales: int) -> List[jnp.ndarray]:
     out = [img]
-    b, h, w, c = img.shape
+    _, h, w, _ = img.shape
     for i in range(num_scales - 1):
         r = 2 ** (i + 1)
-        out.append(jax.image.resize(img, (b, h // r, w // r, c), 'bilinear'))
+        out.append(_resize_align_corners(img, h // r, w // r))
     return out
 
 

@@ -40,24 +40,38 @@ def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray,
     wx = (x - x0)[..., None]
     wy = (y - y0)[..., None]
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0r = x0.astype(jnp.int32)
+    y0r = y0.astype(jnp.int32)
 
-    v00 = _gather_hw(image, y0i, x0i)
-    v01 = _gather_hw(image, y0i, x1i)
-    v10 = _gather_hw(image, y1i, x0i)
-    v11 = _gather_hw(image, y1i, x1i)
+    if padding_mode == 'zeros':
+        # torch semantics: each CORNER tap outside the image contributes 0
+        # individually — samples straddling the border keep their in-bounds
+        # partial weights (the r2 version zeroed the whole sample whenever
+        # the sample POINT left [0, size-1]; caught by the r3 monodepth
+        # golden-parity test)
+        def tap(yi, xi):
+            inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            v = _gather_hw(image, jnp.clip(yi, 0, h - 1),
+                           jnp.clip(xi, 0, w - 1))
+            return jnp.where(inb[..., None], v, 0.0)
+
+        v00 = tap(y0r, x0r)
+        v01 = tap(y0r, x0r + 1)
+        v10 = tap(y0r + 1, x0r)
+        v11 = tap(y0r + 1, x0r + 1)
+    else:
+        x0i = jnp.clip(x0r, 0, w - 1)
+        x1i = jnp.clip(x0r + 1, 0, w - 1)
+        y0i = jnp.clip(y0r, 0, h - 1)
+        y1i = jnp.clip(y0r + 1, 0, h - 1)
+        v00 = _gather_hw(image, y0i, x0i)
+        v01 = _gather_hw(image, y0i, x1i)
+        v10 = _gather_hw(image, y1i, x0i)
+        v11 = _gather_hw(image, y1i, x1i)
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    out = top * (1 - wy) + bot * wy
-
-    if padding_mode == 'zeros':
-        inside = ((x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1))[..., None]
-        out = jnp.where(inside, out, 0.0)
-    return out
+    return top * (1 - wy) + bot * wy
 
 
 def grid_sample(images: jnp.ndarray, grid: jnp.ndarray,
