@@ -168,10 +168,9 @@ class Yolo3DSystem:
             variables = cast_floating(variables, dtype)
             images = images.astype(dtype)
         cls_preds, reg_preds = self.net.apply(variables, images, P2, train=False)
-        # scores in f32 (cheap, C+1 channels); regressions stay bf16 until the
-        # top-K candidate gather inside get_bboxes (avoids a full-tensor
-        # f32 copy+relayout of [B, N, 12], profiled ~1.7 ms)
-        cls_preds = cls_preds.astype(jnp.float32)
+        # cls logits AND regressions stay bf16 until the top-K candidate
+        # gather inside get_bboxes (full-tensor f32 casts force [B, N, C]
+        # layout copies, profiled ~1-2 ms each); scores come back f32
         is_filtering = self.test_cfg.get(
             'filter_anchor', self.loss_cfg.get('filter_anchor', True))
         if is_filtering:

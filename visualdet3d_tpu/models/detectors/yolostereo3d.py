@@ -59,9 +59,14 @@ def _stack_eyes(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
 
 
 def _split_eyes(both: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse of _stack_eyes: [2B, ...] -> ([B, ...], [B, ...])."""
+    """Inverse of _stack_eyes: [2B, ...] -> ([B, ...], [B, ...]).
+
+    Same layout story as _stack_eyes: without the barrier XLA materialises
+    the [B, 2, ...] view in an eye-minor layout for one consumer and
+    re-copies it for the other (~1.7 ms of [16,2,72,320,64] copies in the
+    r3 trace)."""
     b = both.shape[0] // 2
-    x = both.reshape(b, 2, *both.shape[1:])
+    x = jax.lax.optimization_barrier(both.reshape(b, 2, *both.shape[1:]))
     return x[:, 0], x[:, 1]
 
 
@@ -273,7 +278,9 @@ class Stereo3D(Yolo3DSystem):
             right_images = right_images.astype(dtype)
         cls_preds, reg_preds, _ = self.net.apply(
             variables, left_images, right_images, P2, train=False)
-        cls_preds = cls_preds.astype(jnp.float32)
+        # cls logits stay bf16 until the 1024-candidate gather inside
+        # get_bboxes (casting [B, 69120, 3] to f32 here forced a 1 ms+
+        # layout copy in the r3 trace); scores come back f32
         is_filtering = self.test_cfg.get(
             'filter_anchor', self.loss_cfg.get('filter_anchor', True))
         if is_filtering:

@@ -232,11 +232,14 @@ def get_bboxes(cls_preds: jnp.ndarray,
                                              recall_target=1.0)
     cand_valid = top_scores > neg_inf
 
+    # bf16 preds/probs cast to f32 only on the K gathered candidates (a
+    # full-tensor f32 cast upstream costs a [B, N, C] layout copy)
     cand_anchors = anchors[order]
-    cand_reg = reg_preds[order].astype(jnp.float32)  # bf16 preds cast here
-    cand_alpha = probs[order, num_classes:num_classes + 1]
+    cand_reg = reg_preds[order].astype(jnp.float32)
+    cand_alpha = probs[order, num_classes:num_classes + 1].astype(jnp.float32)
     cand_label = label[order]
     cand_mean_std = anchor_mean_std[order]  # [K, T, 6, 2]
+    top_scores = top_scores.astype(jnp.float32)
 
     sel_mean_std = target_coding.select_mean_std_by_class(cand_mean_std, cand_label)
     boxes, prior_ok = target_coding.decode(cand_anchors, cand_reg, sel_mean_std,

@@ -218,15 +218,93 @@ def _gather_rows(src: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     )(src, start)
 
 
+def _lerp_matmul_alltaps_kernel(g_ref, w_ref, wk_ref, o_ref, *, c: int,
+                                kt: int, cout: int):
+    """All-taps-per-block variant: blocks g [1, K, TP, 2C] u32,
+    w [1, K, TP, 4] bf16, wk [K, C, Cout] bf16 (whole) -> out [1, TP, Cout].
+    One contiguous multi-tap DMA per pixel tile instead of K separate grid
+    steps (the per-tap grid spent ~2x the kernel floor on block overheads
+    at KM3D's 4320-block stride-4 shape)."""
+    tp = g_ref.shape[2]
+
+    def body(kk, acc):
+        g = g_ref[0, kk]
+        wq = w_ref[0, kk].astype(jnp.float32)
+        lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(g & jnp.uint32(0xFFFF0000),
+                                          jnp.float32)
+        v = lo * wq[:, 2:3] + hi * wq[:, 3:4]
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        wx = jnp.where(lane < c, wq[:, 0:1], wq[:, 1:2])
+        vw = v * wx
+        sampled = (vw[:, :c] + vw[:, c:]).astype(jnp.bfloat16)
+        return acc + jnp.dot(sampled, wk_ref[kk],
+                             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, kt, body, jnp.zeros((tp, cout), jnp.float32))
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _pick_pixrows_alltaps(hw: int, c: int, cout: int, kt: int,
+                          budget: int = 10 * 2 ** 20) -> int | None:
+    """Pixel rows per all-taps block: K-tap g/w blocks double-buffered, the
+    whole wk, ~4 in-loop [TP, 2C] f32 temporaries, carry + output."""
+    wk_bytes = kt * c * cout * 2
+    if wk_bytes > 4 * 2 ** 20:
+        return None  # big-channel DCNs keep the per-tap grid (wk streams)
+    for tp in (1024, 512, 256, 128, 64, 32, 16, 8):
+        per_row = (2 * kt * (2 * c) * 4 + 2 * kt * 128 * 2
+                   + 4 * (2 * c) * 4 + cout * 4 + cout * 2)
+        if hw % tp == 0 and tp * per_row + wk_bytes <= budget:
+            return tp
+    return None
+
+
 def _lerp_matmul_pallas(g2, wts, wk, b, hw):
-    """g2 [B*K*HW, 2C] u32, wts [B*K*HW, 4] f32, wk [K, C, Cout] bf16
+    """g2 [B*K*HW, 2C] u32, wts [B*K*HW, 4] bf16, wk [K, C, Cout] bf16
     -> [B*HW, Cout] bf16 (rows taps-outer: row = (b*K + k)*HW + p)."""
     kt, c, cout = wk.shape
+    interpret = jax.default_backend() != 'tpu'
+
+    # all-taps-per-block variant: MEASURED REGRESSION at the KM3D shapes
+    # (494 -> 615 ms): the [B*K*HW, 2C] -> [B, K, HW, 2C] operand reshapes
+    # materialize ~110 ms of relayout/pad (XLA re-tiles the 4-D view), far
+    # exceeding the ~15 ms of per-tap grid overhead it removes. Kept behind
+    # VD3D_DCN_ALLTAPS=1 for narrower-channel shapes where it may win.
+    tp2 = (_pick_pixrows_alltaps(hw, c, cout, kt)
+           if os.environ.get('VD3D_DCN_ALLTAPS') == '1' else None)
+    if tp2 is not None:
+        g4 = g2.reshape(b, kt, hw, 2 * c)
+        w4 = wts.reshape(b, kt, hw, 4)
+        out = pl.pallas_call(
+            functools.partial(_lerp_matmul_alltaps_kernel, c=c, kt=kt,
+                              cout=cout),
+            out_shape=jax.ShapeDtypeStruct((b, hw, cout), jnp.bfloat16),
+            grid=(b, hw // tp2),
+            in_specs=[
+                pl.BlockSpec((1, kt, tp2, 2 * c), lambda bb, t: (bb, 0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kt, tp2, 4), lambda bb, t: (bb, 0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kt, c, cout), lambda bb, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tp2, cout), lambda bb, t: (bb, t, 0),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * hw * kt * c * cout + 8 * b * hw * kt * c,
+                transcendentals=0,
+                bytes_accessed=b * hw * kt * (2 * c * 4 + 8)
+                + b * hw * cout * 2),
+            interpret=interpret,
+        )(g4, w4, wk)
+        return out.reshape(b * hw, cout)
+
     tp = _pick_pixrows(hw, c, cout)
     assert tp is not None, 'caller must check _packed_ok first'
     ppb = hw // tp                      # pixel blocks per (image, tap)
     row_map = lambda t, kk: ((t // ppb) * (kt * ppb) + kk * ppb + (t % ppb), 0)
-    interpret = jax.default_backend() != 'tpu'
     return pl.pallas_call(
         functools.partial(_lerp_matmul_kernel, c=c, k=kt),
         out_shape=jax.ShapeDtypeStruct((b * hw, cout), jnp.bfloat16),
