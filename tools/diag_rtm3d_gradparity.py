@@ -6,6 +6,18 @@ other terms' weights), and reports per-leaf relative errors. Run:
 
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python tools/diag_rtm3d_gradparity.py
+
+FINDINGS (r3, recorded in tests/test_km3d.py): the loss scalar matches to
+~8e-7 relative but raw grads diverge at ~2e-3..2e-2 of grad-max for BOTH
+the DLA and resnet cores — SyncBN reduction-order ulps cross genuine
+gradient discontinuities (DCN bilinear floor(), ReLU kinks, the
+Position_loss LSQ backward). Reordering the batch on ONE device produces
+the same divergence scale, so the grad-parity test asserts the sharded
+divergence stays within a small multiple of that intrinsic noise floor.
+CAUTION when reproducing standalone: without the env vars above, this
+image's sitecustomize registers a 1-chip axon TPU and `devices[:8]` is ONE
+device — a sharded-vs-dense comparison then trivially (and meaninglessly)
+returns bitwise zero.
 """
 import os
 import sys
