@@ -10,8 +10,10 @@ splits from a KITTI directory:
   python tools/make_splits.py --data_path ... --out splits/debug_split \
       --num_train 328 --num_val 50
 
-For the exact chen_split lists, download train.txt/val.txt from the 3DOP
-release and drop them into splits/chen_split/.
+The canonical lists are vendored in-repo under splits/ (chen_split
+3711/3768, test_split 7397/84, debug_split 328/50 — byte-identical to the
+reference's data/kitti/*_split/*.txt data files); this tool only exists to
+regenerate custom splits for non-KITTI-standard trees.
 """
 import argparse
 import os
