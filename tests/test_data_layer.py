@@ -5,7 +5,7 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'scripts'))
+
 
 from visualdet3d_tpu.config import EasyDict as edict
 from visualdet3d_tpu.data.augmentations import build_augmentator
@@ -32,9 +32,9 @@ def precomputed(kitti_root, tmp_path_factory):
     split_dir = str(tmp_path_factory.mktemp('split'))
     train, val = write_split_files(kitti_root, split_dir, [0, 1, 2], [3])
 
-    from imdb_precompute_3d import main as precompute_main
+    from visualdet3d_tpu.cli.imdb_precompute_3d import run as precompute_main
     cfg = _make_cfg(kitti_root, out, train, val)
-    import imdb_precompute_3d
+    from visualdet3d_tpu.cli import imdb_precompute_3d
     train_names, val_names = imdb_precompute_3d.process_train_val_file(cfg)
     imdb_precompute_3d.read_one_split(
         cfg, train_names, kitti_root,

@@ -5,7 +5,7 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'scripts'))
+
 
 from visualdet3d_tpu.config import EasyDict as edict
 from visualdet3d_tpu.registry import DATASET_DICT
@@ -102,7 +102,7 @@ sys.path.insert(0, {str(os.path.join(os.path.dirname(__file__))) !r})
 from test_depth_dataset import _depth_cfg
 cfg = _depth_cfg({raw!r}, {depth!r}, {out!r})
 ''')
-    import depth_precompute
+    from visualdet3d_tpu.cli import depth_precompute
     depth_precompute.precompute_depth_statistic(str(cfg_file))
     s = np.load(os.path.join(out, 'training', 'log_depth_sum.npy'))
     n = np.load(os.path.join(out, 'training', 'log_depth_solid.npy'))

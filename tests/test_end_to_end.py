@@ -7,7 +7,7 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'scripts'))
+
 
 import jax
 
@@ -30,7 +30,7 @@ def full_cfg(tmp_path_factory):
     split_dir = str(tmp_path_factory.mktemp('split'))
     train, val = write_split_files(root, split_dir, [0, 1, 2], [0, 1])
 
-    import imdb_precompute_3d
+    from visualdet3d_tpu.cli import imdb_precompute_3d
     cfg = _make_cfg(root, out, train, val)
     # lower the prior bin-population threshold isn't configurable; instead use
     # fg_iou 0.2 so the mini dataset produces enough positives per bin? No:

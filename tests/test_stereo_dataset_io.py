@@ -9,7 +9,7 @@ import cv2
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'scripts'))
+
 
 from visualdet3d_tpu.config import EasyDict as edict
 from visualdet3d_tpu.registry import DATASET_DICT
@@ -28,7 +28,7 @@ def stereo_setup(tmp_path_factory):
     cfg = _make_cfg(root, out, train, val)
     cfg.data.train_dataset = 'KittiStereoDataset'
 
-    import imdb_precompute_3d
+    from visualdet3d_tpu.cli import imdb_precompute_3d
     train_names, _ = imdb_precompute_3d.process_train_val_file(cfg)
     imdb_precompute_3d.read_one_split(
         cfg, train_names, root,

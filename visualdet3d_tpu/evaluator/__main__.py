@@ -9,7 +9,8 @@ import sys
 from visualdet3d_tpu.evaluator.kitti_object.evaluate import evaluate
 
 
-def main(argv):
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
     evaluator = argv[0] if argv else 'kitti_obj'
     kwargs = {}
     for a in argv[1:]:
