@@ -161,3 +161,58 @@ def test_get_bboxes_static_shapes_and_threshold():
     assert float(scores[0]) > 0.99
     # decoded z equals the prior mean (deltas are zero)
     np.testing.assert_allclose(float(bboxes[0, 6]), 20.0, atol=1e-4)
+
+
+def test_get_bboxes_pads_when_max_detections_exceeds_pre_top_k():
+    """ADVICE r3: pre_top_k < max_detections must pad, not raise at trace.
+
+    Tiny-anchor configs (small feature maps) have k = min(pre_top_k, N) <
+    max_detections; the selection is padded with invalid entries so output
+    shapes stay static.
+    """
+    n, c = 16, 2
+    anchors = jnp.asarray(
+        np.array([[j * 16, 0, j * 16 + 24, 24] for j in range(n)], np.float32))
+    mean_std = _mean_std_for(n, t=c)
+    cls_preds = jnp.full((n, c + 1), -8.0)
+    cls_preds = cls_preds.at[3, 0].set(8.0)
+    scores, bboxes, labels, valid = get_bboxes(
+        cls_preds, jnp.zeros((n, 12)), anchors, mean_std, jnp.ones((n,), bool),
+        num_classes=c, image_hw=(128, 512), score_thr=0.75,
+        nms_iou_thr=0.5, max_detections=32, pre_top_k=8)
+    assert scores.shape == (32,) and bboxes.shape == (32, 11)
+    assert valid.shape == (32,) and labels.shape == (32,)
+    assert int(valid.sum()) == 1 and bool(valid[0])
+    assert float(jnp.abs(scores[1:]).max()) == 0.0  # padding scores are 0
+
+
+def test_score_threshold_bf16_band():
+    """Pin the documented bf16 threshold semantics (ADVICE r3): a detection
+    is kept iff bf16(sigmoid(logit)) > score_thr.
+
+    0.75 is exactly representable in bf16; sigmoid(1.0986) ~ 0.75. Pick
+    logits whose bf16 sigmoid lands exactly ON the threshold (dropped: not
+    strictly greater) and one bf16 ULP above (kept), so borderline behavior
+    is deterministic and tested rather than incidental.
+    """
+    f = np.float32
+    # scan for logits mapping to bf16 score == 0.75 and == nextafter(0.75)
+    cand = np.linspace(1.0, 1.2, 20001, dtype=np.float64)
+    s_bf16 = jnp.asarray(1 / (1 + np.exp(-cand)), jnp.bfloat16)
+    on_thr = cand[np.where(np.asarray(s_bf16, f) == f(0.75))[0][0]]
+    above = cand[np.where(np.asarray(s_bf16, f) > f(0.75))[0][0]]
+
+    n, c = 16, 2
+    anchors = jnp.asarray(
+        np.array([[j * 32, 0, j * 32 + 24, 24] for j in range(n)], np.float32))
+    mean_std = _mean_std_for(n, t=c)
+    cls_preds = np.full((n, c + 1), -8.0, np.float32)
+    cls_preds[3, 0] = on_thr    # exactly at threshold in bf16 -> dropped
+    cls_preds[7, 0] = above     # one ULP above -> kept
+    scores, _, _, valid = get_bboxes(
+        jnp.asarray(cls_preds, jnp.bfloat16), jnp.zeros((n, 12), jnp.bfloat16),
+        anchors, mean_std, jnp.ones((n,), bool),
+        num_classes=c, image_hw=(128, 512), score_thr=0.75,
+        nms_iou_thr=0.5, max_detections=8, pre_top_k=n)
+    assert int(valid.sum()) == 1
+    assert float(scores[0]) > 0.75

@@ -210,6 +210,15 @@ def get_bboxes(cls_preds: jnp.ndarray,
     reference: get_bboxes (detection_3d_head.py:341-400). Note the reference
     reads the (typo'd) key 'cls_agnositc' with default True, so its NMS is
     effectively always class-agnostic; we default the same way.
+
+    bf16 threshold band (documented behavior): when cls_preds arrive in
+    bf16 (inference_dtype='bfloat16'), sigmoid scores are compared against
+    score_thr at bf16 resolution (~2e-3 near 0.75), so detections whose f32
+    score lies within a few bf16 ULPs of the threshold can flip in/out vs
+    the f32 path, and near-tie candidate order can differ. The comparison
+    itself is deterministic: a score is kept iff
+    bf16(sigmoid(logit)) > score_thr — pinned by
+    tests/test_detection_head.py::test_score_threshold_bf16_band.
     """
     probs = jax.nn.sigmoid(cls_preds)
     cls_score = probs[:, :num_classes]
@@ -225,9 +234,10 @@ def get_bboxes(cls_preds: jnp.ndarray,
     k = min(pre_top_k, cls_preds.shape[0])
     neg_inf = jnp.finfo(max_score.dtype).min
     masked_scores = jnp.where(valid, max_score, neg_inf)
-    # approx_max_k at recall_target=1.0 is EXACT top-k lowered to the TPU
-    # partial-reduce TopK op (sorted descending); lax.top_k lowers to a full
-    # [N] sort (~1.25 ms at batch 16 in the r3 profile)
+    # approx_max_k at recall_target=1.0 is EXACT top-k; on this toolchain it
+    # still lowers to a full-sort variant, just a cheaper one than lax.top_k
+    # (0.95 vs 1.25 ms at batch 16 in the r3 profile), not a partial-reduce
+    # TopK
     top_scores, order = jax.lax.approx_max_k(masked_scores, k,
                                              recall_target=1.0)
     cand_valid = top_scores > neg_inf
@@ -261,8 +271,12 @@ def get_bboxes(cls_preds: jnp.ndarray,
     # negated rank replaces a full [K] argsort (identical result: ranks are
     # distinct for survivors and top_k tie-breaks padding by lowest index,
     # exactly argsort's stable order)
-    _, sel = jax.lax.top_k(-kept_rank, max_detections)
+    m = min(max_detections, k)  # top_k requires k_out <= k; pad back below
+    _, sel = jax.lax.top_k(-kept_rank, m)
     keep_valid = keep[sel]
+    if m < max_detections:  # tiny-anchor configs (pre_top_k < max_detections)
+        sel = jnp.pad(sel, (0, max_detections - m))
+        keep_valid = jnp.pad(keep_valid, (0, max_detections - m))
     return (top_scores[sel] * keep_valid,
             boxes[sel],
             cand_label[sel],
