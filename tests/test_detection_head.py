@@ -216,3 +216,44 @@ def test_score_threshold_bf16_band():
         nms_iou_thr=0.5, max_detections=8, pre_top_k=n)
     assert int(valid.sum()) == 1
     assert float(scores[0]) > 0.75
+
+
+def test_get_bboxes_batched_matches_vmap():
+    """get_bboxes_batched (layout-friendly candidate selection on the
+    un-flattened channel order) must match vmap(get_bboxes) exactly — same
+    scores, boxes, labels, valid — in f32 AND bf16 (the bf16 threshold
+    band must be identical too: both compute bf16(sigmoid(logit)))."""
+    from visualdet3d_tpu.models.heads.detection_3d_head import (
+        get_bboxes_batched)
+    b, hw, a, c = 3, 64, 4, 2
+    n = hw * a
+    rng = np.random.default_rng(0)
+    # anchor table: locations outer, anchors inner
+    anchors = []
+    for i in range(8):
+        for j in range(8):
+            for t in range(a):
+                anchors.append([j * 16, i * 16, j * 16 + 24 + 4 * t,
+                                i * 16 + 24 + 2 * t])
+    anchors = jnp.asarray(np.array(anchors, np.float32))
+    mean_std = _mean_std_for(n, t=c)
+    # logits spanning the threshold: a handful confident, many borderline
+    cls_np = rng.normal(-4.0, 3.0, (b, n, c + 1)).astype(np.float32)
+    reg_np = (0.3 * rng.standard_normal((b, n, 12))).astype(np.float32)
+    useful = jnp.asarray(rng.random((b, n)) > 0.1)
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        cls_preds = jnp.asarray(cls_np, dtype)
+        reg_preds = jnp.asarray(reg_np, dtype)
+        kw = dict(num_classes=c, image_hw=(128, 128), score_thr=0.75,
+                  nms_iou_thr=0.5, max_detections=8, pre_top_k=32)
+        ref = jax.vmap(lambda cp, rp, m: get_bboxes(
+            cp, rp, anchors, mean_std, m, **kw))(cls_preds, reg_preds, useful)
+        out = get_bboxes_batched(cls_preds, reg_preds, a, anchors, mean_std,
+                                 useful, **kw)
+        assert int(np.asarray(ref[3]).sum()) > 0  # non-trivial decode
+        for name, r, o in zip(('scores', 'bboxes', 'labels', 'valid'),
+                              ref, out):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                       rtol=0, atol=1e-6,
+                                       err_msg=f'{name} {dtype}')

@@ -34,9 +34,20 @@ def main():
     system.cfg.inference_dtype = dtype
     variables = system.init(jax.random.PRNGKey(0), image_hw, batch_size=1)
     system.anchor_pack(image_hw)
-    if fold:
+    if fold or dtype == 'int8':
         variables = system.fold_inference_variables(variables, image_hw)
-    if dtype != 'float32':
+    if dtype == 'int8':
+        crng = np.random.default_rng(9)
+        P2c = jnp.asarray(np.tile(np.array([
+            [721.5377, 0.0, 609.5593, 44.85728],
+            [0.0, 721.5377, 72.854, 0.2163791],
+            [0.0, 0.0, 1.0, 0.002745884]], np.float32), (2, 1, 1)))
+        calib = [(jnp.asarray(crng.standard_normal((2, *image_hw, 3)).astype(np.float32)),
+                  jnp.asarray(crng.standard_normal((2, *image_hw, 3)).astype(np.float32)),
+                  P2c) for _ in range(2)]
+        absmax = system.calibrate_int8(variables, calib)
+        variables = jax.device_put(system.quantize_int8(variables, absmax, image_hw))
+    elif dtype != 'float32':
         variables = jax.device_put(cast_floating(variables, dtype))
 
     @jax.jit

@@ -21,6 +21,7 @@ from visualdet3d_tpu.models.backbones.dla_utils import DLASegUpsample
 from visualdet3d_tpu.models.backbones.resnet import resnet
 from visualdet3d_tpu.models.heads import km3d_head as km3d_lib
 from visualdet3d_tpu.models.heads import monoflex_head as monoflex_lib
+from visualdet3d_tpu.models.quant import Int8InferenceMixin
 from visualdet3d_tpu.registry import DETECTOR_DICT
 
 
@@ -64,11 +65,17 @@ class KM3DNet(nn.Module):
 
 
 @DETECTOR_DICT.register_module
-class KM3D:
+class KM3D(Int8InferenceMixin):
     """reference KM3D.py:17 (KM3D)."""
 
     decode_fn = staticmethod(km3d_lib.km3d_decode)
     default_head_dict = km3d_lib.DEFAULT_HEAD_DICT
+
+    # int8 (models/quant.py): the DCN offset convs (27 ch) and every final
+    # prediction conv (<= 24 ch) fall below the 64-channel selection bound,
+    # so only the DLA trunk's stride-1 convs and the 64-ch head conv1
+    # towers quantize; nothing needs an explicit deny entry.
+    int8_deny: tuple = ()
 
     def __init__(self, network_cfg):
         self.cfg = network_cfg
@@ -98,6 +105,13 @@ class KM3D:
         return fold_batchnorm(
             variables, lambda v, im: self.net.apply(v, im, train=False), img)
 
+    def _eval_apply(self, variables, *inputs):
+        return self.net.apply(variables, *inputs, train=False)
+
+    def _int8_trace_args(self, image_hw, batch_size: int = 1):
+        img = jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        return (img,)
+
     def loss(self, variables, images, gts, P2, rng=None, train: bool = True,
              epoch: float = 100.0):
         """batch keys follow the RTM3D target dict; returns
@@ -114,11 +128,9 @@ class KM3D:
 
     def predict(self, variables, images, P2, max_detections: int = 32):
         dtype = self.cfg.get('inference_dtype', 'float32')
-        if dtype != 'float32':
-            from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
-            variables = cast_floating(variables, dtype)
-            images = images.astype(dtype)
-        output = self.net.apply(variables, images, train=False)
+        variables, (images,), ctx = self._inference_cast(variables, [images])
+        with ctx:
+            output = self.net.apply(variables, images, train=False)
         if dtype != 'float32':
             # decode in f32 (heatmap topk + LSQ position solve)
             output = {k: v.astype(jnp.float32) for k, v in output.items()}

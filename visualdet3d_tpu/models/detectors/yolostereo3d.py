@@ -228,6 +228,17 @@ class Stereo3D(Yolo3DSystem):
             lambda v, l, r, p: self.net.apply(v, l, r, p, train=False),
             img, img, P2)
 
+    def _int8_trace_args(self, image_hw, batch_size: int = 1):
+        img = jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        P2 = jax.ShapeDtypeStruct((batch_size, 3, 4), jnp.float32)
+        return (img, img, P2)
+
+    # final prediction convs stay bf16 (raw logits / regression outputs)
+    int8_deny = (
+        ('StereoHead_0', 'Conv_0'),
+        ('StereoHead_0', '_ClsBranch_0', 'Conv_2'),
+    )
+
     def loss(self, variables, left_images, right_images, P2, P3, annotations,
              disparity=None, rng=None, train: bool = True):
         """reference: Stereo3D.train_forward (yolostereo3d_detector.py:42-75):
@@ -270,14 +281,11 @@ class Stereo3D(Yolo3DSystem):
                 max_detections: int = 32):
         image_hw = (left_images.shape[1], left_images.shape[2])
         pack = self.anchor_pack(image_hw)
-        dtype = self.cfg.get('inference_dtype', 'float32')
-        if dtype != 'float32':
-            from visualdet3d_tpu.models.detectors.yolo3d import cast_floating
-            variables = cast_floating(variables, dtype)
-            left_images = left_images.astype(dtype)
-            right_images = right_images.astype(dtype)
-        cls_preds, reg_preds, _ = self.net.apply(
-            variables, left_images, right_images, P2, train=False)
+        variables, (left_images, right_images), ctx = self._inference_cast(
+            variables, [left_images, right_images])
+        with ctx:
+            cls_preds, reg_preds, _ = self.net.apply(
+                variables, left_images, right_images, P2, train=False)
         # cls logits stay bf16 until the 1024-candidate gather inside
         # get_bboxes (casting [B, 69120, 3] to f32 here forced a 1 ms+
         # layout copy in the r3 trace); scores come back f32
@@ -288,19 +296,16 @@ class Stereo3D(Yolo3DSystem):
         else:
             useful = jnp.ones((P2.shape[0], pack['anchors'].shape[0]), bool)
 
-        def decode_one(cls_p, reg_p, mask):
-            return head_lib.get_bboxes(
-                cls_p, reg_p,
-                jnp.asarray(pack['anchors']),
-                jnp.asarray(pack['anchor_mean_std']),
-                mask,
-                num_classes=self.num_classes,
-                image_hw=image_hw,
-                score_thr=self.test_cfg.get('score_thr', 0.75),
-                nms_iou_thr=self.test_cfg.get('nms_iou_thr', 0.4),
-                max_detections=max_detections,
-                cls_agnostic=self.test_cfg.get('cls_agnositc', True),
-            )
-
-        scores, bboxes, labels, valid = jax.vmap(decode_one)(cls_preds, reg_preds, useful)
+        scores, bboxes, labels, valid = head_lib.get_bboxes_batched(
+            cls_preds, reg_preds, self.anchors.num_anchors,
+            jnp.asarray(pack['anchors']),
+            jnp.asarray(pack['anchor_mean_std']),
+            useful,
+            num_classes=self.num_classes,
+            image_hw=image_hw,
+            score_thr=self.test_cfg.get('score_thr', 0.75),
+            nms_iou_thr=self.test_cfg.get('nms_iou_thr', 0.4),
+            max_detections=max_detections,
+            cls_agnostic=self.test_cfg.get('cls_agnositc', True),
+        )
         return dict(scores=scores, bboxes=bboxes, labels=labels, valid=valid)

@@ -1,0 +1,289 @@
+"""Post-training int8 quantization for the inference conv trunk.
+
+Rationale (r4): the v5e MXU does 394 int8 TOPS vs 197 bf16 TFLOP/s, and the
+stereo flagship's head/pyramid 3x3 convs already run at ~94% of bf16 peak
+(tools/bench_head_conv.py) — quantization is the only remaining throughput
+lever at those shapes. Measured on chip (tools/bench_int8_chain.py): a
+chain of 1408-ch 3x3 convs with fused quantize epilogues runs 1.97x bf16;
+1152-ch 2.04x; low-channel stride-2 convs regress (0.79x) and are excluded
+by the selection rule.
+
+Scheme: symmetric int8, per-OUTPUT-CHANNEL weight scales, per-TENSOR
+activation scales calibrated offline (absmax over calibration batches).
+Static scales keep the quantize step (scale+round+clip+cast) a pure
+elementwise epilogue that XLA fuses into the producer, so a quantized conv
+is: int8 gemm -> int32 -> f32 scale (+bias) -> next op. Zero-padding is
+exact under symmetric quantization (0 -> 0).
+
+Mechanics: no model-definition changes. Selected ``nn.Conv`` kernels (and
+biases) are MOVED out of ``params`` into an int8 ``quant`` collection by
+:func:`quantize_variables` (host-side, applied AFTER BN folding —
+models/fold_bn.py — so the folded f32 kernels are what gets quantized).
+At predict time a flax method interceptor (``nn.intercept_methods``, the
+same mechanism fold_bn uses for pair detection) replaces each selected
+conv's computation with the int8 path; everything else (correlation
+volumes, DCN, decode, BN shifts) runs bf16/f32 untouched.
+
+The quantized-variables artifact is inference-only: training and
+f32/bf16 predict must use the unquantized variables.
+
+reference anchor: the benchmark forward this accelerates is
+visualDet3D/networks/detectors/yolostereo3d_core.py:110-126.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+QUANT_COLLECTION = 'quant'
+
+PathT = Tuple[str, ...]
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _norm_padding(padding):
+    """nn.Conv padding attr -> lax.conv_general_dilated padding arg."""
+    if isinstance(padding, str):
+        return padding
+    if isinstance(padding, int):
+        return [(padding, padding)] * 2
+    out = []
+    for p in padding:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return out
+
+
+def default_select(mod: nn.Module, x, deny: frozenset) -> bool:
+    """Quantize 2-D, ungrouped, stride-1 convs with cin/cout >= 64.
+
+    The channel/stride bounds come straight from tools/bench_int8_chain.py:
+    below 64 channels the int8 conv emitter wins little, and stride-2 at 64
+    channels is a measured 0.79x regression. ``deny`` excludes the final
+    prediction convs (raw logits / regression outputs keep bf16 precision).
+    """
+    return (isinstance(mod, nn.Conv)
+            and len(mod.kernel_size) == 2
+            and mod.feature_group_count == 1
+            and hasattr(x, 'ndim') and x.ndim == 4
+            and x.shape[-1] >= 64 and mod.features >= 64
+            and _pair(mod.strides or 1) == (1, 1)
+            and tuple(mod.path) not in deny)
+
+
+def record_act_absmax(apply_fn: Callable, variables, batches: Iterable[tuple],
+                      deny: frozenset = frozenset()) -> Dict[PathT, float]:
+    """Calibration: per-conv input absmax over ``batches``.
+
+    apply_fn(variables, *batch) must apply the net in eval mode. Returns
+    {conv_path: float absmax} for every conv default_select picks.
+    """
+
+    def one(variables, *batch):
+        rec: Dict[PathT, jnp.ndarray] = {}
+
+        def interceptor(next_fn, args, kwargs, context):
+            mod = context.module
+            if (context.method_name == '__call__'
+                    and default_select(mod, args[0], deny)):
+                rec[tuple(mod.path)] = jnp.max(
+                    jnp.abs(args[0].astype(jnp.float32)))
+            return next_fn(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            apply_fn(variables, *batch)
+        return rec
+
+    fn = jax.jit(one)
+    out: Dict[PathT, float] = {}
+    for batch in batches:
+        rec = jax.device_get(fn(variables, *batch))
+        for k, v in rec.items():
+            out[k] = max(out.get(k, 0.0), float(v))
+    return out
+
+
+def _get(tree, path):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def _set(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def quantize_variables(variables, act_absmax: Dict[PathT, float],
+                       trace_fn: Callable, *trace_args,
+                       deny: frozenset = frozenset()):
+    """Return inference-only variables with selected convs quantized.
+
+    ``variables`` must be the FOLDED f32 variables (fold_inference_variables
+    first). Selected conv kernels/biases move from ``params`` into the
+    ``quant`` collection as {kernel_q int8 [kh,kw,cin,cout], w_scale f32
+    [cout], act_scale f32 [], bias? f32 [cout]}. trace_fn(variables,
+    *trace_args) applies the net in eval mode and is only shape-traced.
+    """
+    from flax.core import unfreeze
+
+    selected = set()
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        mod = context.module
+        if (context.method_name == '__call__'
+                and default_select(mod, args[0], deny)
+                and tuple(mod.path) in act_absmax):
+            selected.add(tuple(mod.path))
+        return out
+
+    with nn.intercept_methods(interceptor):
+        jax.eval_shape(trace_fn, variables, *trace_args)
+
+    params = unfreeze(variables['params'])
+    quant: dict = {}
+    for path in sorted(selected):
+        node = _get(params, path)
+        k = np.asarray(node.pop('kernel'), np.float32)
+        w_scale = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
+        k_q = np.clip(np.rint(k / w_scale), -127, 127).astype(np.int8)
+        entry = {
+            'kernel_q': jnp.asarray(k_q),
+            'w_scale': jnp.asarray(w_scale.astype(np.float32)),
+            'act_scale': jnp.asarray(
+                np.float32(max(act_absmax[path], 1e-12) / 127.0)),
+        }
+        if 'bias' in node:
+            entry['bias'] = jnp.asarray(
+                np.asarray(node.pop('bias'), np.float32))
+        _set(quant, path, entry)
+
+    out = dict(variables)
+    out['params'] = params
+    out[QUANT_COLLECTION] = quant
+    return out
+
+
+def flatten_quant(quant) -> Dict[PathT, dict]:
+    """Nested quant collection -> {conv_path: entry} lookup."""
+    flat: Dict[PathT, dict] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict) and 'kernel_q' in node:
+            flat[path] = node
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+
+    walk(dict(quant), ())
+    return flat
+
+
+def _int8_conv(mod: nn.Conv, x, entry, compute_dtype):
+    inv = 1.0 / entry['act_scale']
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, entry['kernel_q'],
+        window_strides=_pair(mod.strides or 1),
+        padding=_norm_padding(mod.padding),
+        rhs_dilation=_pair(mod.kernel_dilation or 1),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=mod.feature_group_count,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (entry['w_scale'] * entry['act_scale'])
+    if 'bias' in entry:
+        y = y + entry['bias']
+    return y.astype(compute_dtype)
+
+
+def int8_interceptor(qflat: Dict[PathT, dict], compute_dtype=jnp.bfloat16):
+    """Flax method interceptor running quantized convs from ``qflat``."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        if (context.method_name == '__call__' and isinstance(mod, nn.Conv)):
+            entry = qflat.get(tuple(mod.path))
+            if entry is not None:
+                return _int8_conv(mod, args[0], entry, compute_dtype)
+        return next_fn(*args, **kwargs)
+
+    return interceptor
+
+
+class Int8InferenceMixin:
+    """Adds post-training int8 inference to a detector system.
+
+    Host API:  absmax = system.calibrate_int8(folded_vars, batches)
+               qvars = system.quantize_int8(folded_vars, absmax, image_hw)
+               cfg.inference_dtype = 'int8'; system.predict(qvars, ...)
+    Classes provide: ``self.net`` (flax module applied via ``_eval_apply``),
+    ``_int8_trace_args(image_hw, batch_size)`` (ShapeDtypeStructs matching
+    the net inputs) and ``int8_deny`` (prediction-conv paths kept bf16).
+    """
+
+    int8_deny: tuple = ()
+
+    def _eval_apply(self, variables, *inputs):
+        return self.net.apply(variables, *inputs, train=False)
+
+    def _int8_trace_args(self, image_hw, batch_size: int = 1):
+        import jax as _jax
+        img = _jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
+        return (img,)
+
+    def calibrate_int8(self, variables, batches):
+        """Per-conv activation absmax over calibration batches (f32 vars)."""
+        return record_act_absmax(self._eval_apply, variables, batches,
+                                 deny=frozenset(self.int8_deny))
+
+    def quantize_int8(self, variables, act_absmax, image_hw,
+                      batch_size: int = 1):
+        """FOLDED f32 variables -> inference-only int8 variables (adds the
+        'quant' collection; use with cfg.inference_dtype = 'int8')."""
+        return quantize_variables(
+            variables, act_absmax, self._eval_apply,
+            *self._int8_trace_args(image_hw, batch_size),
+            deny=frozenset(self.int8_deny))
+
+    def _inference_cast(self, variables, images_list):
+        """Apply cfg.inference_dtype: returns (variables, cast image list,
+        apply-context). For 'int8' the quant collection drives the conv
+        interceptor and the float remainder runs bf16."""
+        import contextlib
+        dtype = self.cfg.get('inference_dtype', 'float32')
+        if dtype == 'float32':
+            return variables, images_list, contextlib.nullcontext()
+        if dtype == 'int8':
+            assert QUANT_COLLECTION in variables, (
+                "inference_dtype='int8' needs quantize_int8 variables")
+            qflat = flatten_quant(variables[QUANT_COLLECTION])
+            ctx = nn.intercept_methods(int8_interceptor(qflat))
+            variables = {
+                k: (v if k == QUANT_COLLECTION
+                    else _cast_floating(v, jnp.bfloat16))
+                for k, v in variables.items()}
+            return (variables,
+                    [im.astype(jnp.bfloat16) for im in images_list], ctx)
+        variables = _cast_floating(variables, dtype)
+        return (variables, [im.astype(dtype) for im in images_list],
+                contextlib.nullcontext())
+
+
+def _cast_floating(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
