@@ -16,6 +16,8 @@ wall-clock loops can be cached or elided by the axon execution relay
 (CLAUDE.md "Benchmarking on the axon relay").
 
 Usage: python bench.py [batch] [dtype] [stereo|mono|km3d|all]
+dtype defaults to 'auto': each model's fastest parity-gated inference
+config (int8 MXU trunk for stereo/mono, bf16 for the gather-bound KM3D).
 """
 from __future__ import annotations
 
@@ -290,29 +292,42 @@ def main():
     import jax
 
     batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 16
-    dtype = sys.argv[2] if len(sys.argv) > 2 else 'bfloat16'
+    dtype = sys.argv[2] if len(sys.argv) > 2 else 'auto'
     which = sys.argv[3] if len(sys.argv) > 3 else \
         os.environ.get('VD3D_BENCH', 'all')
 
-    detail = {'batch': batch, 'inference_dtype': dtype,
+    # 'auto' = each model's fastest parity-gated inference config (r4):
+    # int8 MXU trunk for the conv-bound stereo/mono models (test_quant.py
+    # gates decode parity + synthetic AP within 0.2 of f32); KM3D stays
+    # bf16 (gather-bound DCN neck - int8 convs don't move it).
+    auto = dtype == 'auto'
+    per_model = {'stereo': 'int8', 'mono': 'int8', 'km3d': 'bfloat16'}
+
+    detail = {'batch': batch,
+              'inference_dtype': per_model['stereo'] if auto else dtype,
               'backend': jax.default_backend()}
     fps = 0.0
     if which in ('all', 'stereo'):
-        fps, ms_device, p50_ms, p50_dev_ms = bench_stereo(batch, dtype)
+        st_dtype = per_model['stereo'] if auto else dtype
+        fps, ms_device, p50_ms, p50_dev_ms = bench_stereo(batch, st_dtype)
         detail.update(stereo_image_hw=[288, 1280],
                       device_ms_per_batch=round(ms_device, 2),
                       p50_latency_ms_bs1=round(p50_ms, 2),
                       p50_device_ms_bs1=round(p50_dev_ms, 2))
     if which in ('all', 'mono'):
-        mono_fps, mono_ms = bench_mono(batch, dtype)
+        mono_dtype = per_model['mono'] if auto else dtype
+        mono_fps, mono_ms = bench_mono(batch, mono_dtype)
         detail.update(mono_gac_fps=round(mono_fps, 2),
-                      mono_device_ms=round(mono_ms, 2))
+                      mono_device_ms=round(mono_ms, 2),
+                      mono_dtype=mono_dtype)
         if which == 'mono':
             fps = mono_fps
     if which in ('all', 'km3d'):
-        km3d_fps, km3d_ms = bench_km3d(batch, dtype)
+        km3d_dtype = per_model['km3d'] if auto else dtype
+        km3d_fps, km3d_ms = bench_km3d(batch, km3d_dtype)
         detail.update(km3d_fps=round(km3d_fps, 2),
-                      km3d_device_ms=round(km3d_ms, 2))
+                      km3d_device_ms=round(km3d_ms, 2),
+                      km3d_dtype=km3d_dtype)
         if which == 'km3d':
             fps = km3d_fps
     if which in ('all', 'train'):
