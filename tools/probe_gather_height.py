@@ -36,29 +36,65 @@ def gather_slices(img, idx, height, width):
         mode=jax.lax.GatherScatterMode.CLIP)
 
 
-def main():
-    H, W = 4096, 512   # u32 image, 256-lane rows at width=256
-    n_slices = 16 * 96 * 320 // 4  # 1/4 the KM3D stride-4 site count
-    # (cost ~ slices; smaller count keeps output buffers + compiles fast)
-    configs = [(int(a.split('x')[0]), int(a.split('x')[1]))
-               for a in sys.argv[1:]] or [(1, 128), (2, 128), (4, 128)]
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.integers(0, 2**31, (H, W), np.int64).astype(np.uint32))
-    sets = []
-    for s in range(3):
-        idx = np.stack([rng.integers(0, H - 8, n_slices),
-                        rng.integers(0, W - 256, n_slices)], 1).astype(np.int32)
-        sets.append(jnp.asarray(idx))
+def gather_rows(src, start, height):
+    """Production DCN geometry (ops/deform_conv.py _gather_rows): src
+    [R, C], start [N, 1] row indices, full-width (height, C) slices."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    return jax.lax.gather(
+        src, start, dn, slice_sizes=(height, src.shape[1]),
+        mode=jax.lax.GatherScatterMode.CLIP)
 
-    for height, width in configs:
-        fn = jax.jit(lambda im, ix, h=height, w=width:
-                     gather_slices(im, ix, h, w).sum(dtype=jnp.uint32))
-        ms = device_ms(fn, [(img, ix) for ix in sets],
-                       iters=int(os.environ.get('PROBE_ITERS', '6')))
-        rows = n_slices * height
-        print(f'width={width:4d} height={height}: {ms:8.3f} ms '
-              f'({ms * 1e6 / n_slices:6.1f} ns/slice, '
-              f'{ms * 1e6 / rows:6.1f} ns/row)', flush=True)
+
+def main():
+    # Production-geometry probe: the KM3D stride-4 DCN gather is
+    # [R=(96+4)*(320+4), 2C=128-lane u32] rows addressed by y0*wp+x0 with
+    # DCN locality (taps-outer, raster sites, jittered by offsets), one
+    # height-1 slice per (site, tap). Measure the same traffic with
+    # height-1/2/4 slices to decide whether taller slices are ~free
+    # (multi-tap slice formulations) or ~linear in rows (nothing to gain).
+    hp, wp = 100, 324
+    R, C = hp * wp, 128
+    hw, K = 96 * 320, 9
+    b = int(os.environ.get('PROBE_BATCH', '2'))  # batch folded into N
+    # src_copies=1: all b batch tiles re-read ONE [R, C] source (16.6 MB
+    # working set). src_copies=b: source is [b*R, C] with per-copy index
+    # offsets — the production layout (265 MB at b=16). The v1 run of this
+    # probe used copies=1 and measured 2.5 ns/slice (vs 10-13 production):
+    # this flag decides whether that gap is source-locality or noise.
+    src_copies = int(os.environ.get('PROBE_SRC_COPIES', '1'))
+    n = hw * K * b
+    heights = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(
+        0, 2**31, (src_copies * R, C), np.int64).astype(np.uint32))
+    n_sets = int(os.environ.get('PROBE_SETS', '3'))
+    sets = []
+    for s in range(n_sets):
+        yy, xx = np.meshgrid(np.arange(96), np.arange(320), indexing='ij')
+        starts = []
+        for k in range(K):
+            oy = rng.uniform(-2, 2, hw)
+            ox = rng.uniform(-2, 2, hw)
+            y0 = np.clip(np.floor(yy.ravel() + k // 3 - 1 + oy), 0, hp - 8)
+            x0 = np.clip(np.floor(xx.ravel() + k % 3 - 1 + ox), 0, wp - 2)
+            starts.append((y0 * wp + x0).astype(np.int32))
+        # taps-outer per batch copy, matching ops/deform_conv.py: the b
+        # copies address distinct src regions when src_copies == b.
+        idx = np.concatenate(
+            [np.concatenate(starts) + (bi % src_copies) * R
+             for bi in range(b)])
+        sets.append(jnp.asarray(idx[:, None]))
+
+    iters = int(os.environ.get('PROBE_ITERS', str(n_sets)))
+    for height in heights:
+        fn = jax.jit(lambda sr, ix, h=height:
+                     gather_rows(sr, ix, h).sum(dtype=jnp.uint32))
+        ms = device_ms(fn, [(src, ix) for ix in sets], iters=iters)
+        rows = n * height
+        print(f'rows[{src_copies}x{R},{C}] b={b} height={height}: '
+              f'{ms:8.3f} ms ({ms * 1e6 / n:6.1f} ns/slice, '
+              f'{ms * 1e6 / rows:6.1f} ns/row, {n} slices)', flush=True)
 
 
 if __name__ == '__main__':
