@@ -317,6 +317,50 @@ def _run_premul_case(x32, wt32, off32, msk32):
     assert np.all(np.isfinite(np.asarray(g, np.float32)))
 
 
+def test_modulated_deform_conv_packed_train_grads():
+    """The bf16 TRAINING path now uses _packed_conv with its direct Pallas
+    backward (r4). Gate: every gradient (image, offset, mask, weight) must
+    track the f32 pairs-path oracle at least as well as the bf16 pairs
+    path itself does — i.e. the new backward adds no error beyond the bf16
+    noise floor, measured per-run (rtm3d grad-parity style)."""
+    import os
+    from visualdet3d_tpu.ops.deform_conv import _packed_ok
+    rng = np.random.default_rng(3)
+    b, h, w_, c, co = 2, 8, 16, 64, 64
+    x32 = rng.standard_normal((b, h, w_, c)).astype(np.float32)
+    off32 = rng.uniform(-3.5, 3.5, (b, h, w_, 18)).astype(np.float32)
+    msk32 = rng.uniform(0, 1, (b, h, w_, 9)).astype(np.float32)
+    wt32 = (rng.standard_normal((3, 3, c, co)) * 0.05).astype(np.float32)
+    assert _packed_ok(h * w_, c, co, jnp.bfloat16)
+
+    def grads(args, train_packed):
+        os.environ['VD3D_DCN_TRAIN_PACKED'] = '1' if train_packed else '0'
+        try:
+            return jax.grad(
+                lambda x_, o_, m_, k_: jnp.sum(modulated_deform_conv(
+                    x_, o_, m_, k_, train=True) ** 2),
+                argnums=(0, 1, 2, 3))(*args)
+        finally:
+            os.environ.pop('VD3D_DCN_TRAIN_PACKED')
+
+    a16 = tuple(jnp.asarray(v, jnp.bfloat16)
+                for v in (x32, off32, msk32, wt32))
+    a32 = tuple(jnp.asarray(v) for v in (x32, off32, msk32, wt32))
+    g_packed = grads(a16, True)
+    g_pairs = grads(a16, False)
+    g_oracle = grads(a32, False)
+
+    for name, gp, gq, go in zip(('dx', 'doff', 'dmask', 'dw'),
+                                g_packed, g_pairs, g_oracle):
+        gp = np.asarray(gp, np.float64)
+        gq = np.asarray(gq, np.float64)
+        go = np.asarray(go, np.float64)
+        scale = np.abs(go).max() + 1e-9
+        floor = np.abs(gq - go).max() / scale        # bf16 pairs noise
+        err = np.abs(gp - go).max() / scale
+        assert err <= max(1.5 * floor, 1e-6), (name, err, floor)
+
+
 def test_modulated_deform_conv_is_differentiable():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((1, 5, 5, 2)).astype(np.float32))

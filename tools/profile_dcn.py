@@ -45,6 +45,13 @@ def main():
     ap.add_argument('--dtype', default='float32')
     ap.add_argument('--bwd', action='store_true')
     ap.add_argument('--iters', type=int, default=3)
+    ap.add_argument('--variants', default='current,pairgather',
+                    help='comma list: current (naive ref) and/or pairgather '
+                         '(modulated_deform_conv, which itself dispatches '
+                         'packed/pairs per VD3D_DCN_* env)')
+    ap.add_argument('--tag', default='',
+                    help='suffix for the trace dir name (so pairs/packed '
+                         'runs of the same variant keep separate traces)')
     args = ap.parse_args()
 
     import jax
@@ -62,19 +69,26 @@ def main():
     msk = jnp.asarray(rng.uniform(0, 1, (b, h, w, 9)), f)
     wgt = jnp.asarray(rng.standard_normal((3, 3, c, args.cout)) * 0.05, f)
 
-    variants = [('current', mdc_current), ('pairgather', mdc_pairgather)]
+    variants = [(n, f) for n, f in
+                [('current', mdc_current), ('pairgather', mdc_pairgather)]
+                if n in args.variants.split(',')]
 
     for name, fn in variants:
         if args.bwd:
-            def run(fn=fn):
+            def run(fn=fn, name=name):
                 def loss(x_, o_, m_, w_):
-                    return jnp.sum(fn(x_, o_, m_, w_) ** 2)
+                    # train=True so the dispatcher exercises the TRAINING
+                    # path selection (VD3D_DCN_TRAIN_PACKED gates packed
+                    # vs pairs there)
+                    kw = {'train': True} if name == 'pairgather' else {}
+                    return jnp.sum(fn(x_, o_, m_, w_, **kw) ** 2)
                 return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
             jfn = run()
         else:
             jfn = jax.jit(fn)
         jax.block_until_ready(jfn(x, off, msk, wgt))  # compile
-        tdir = f'/tmp/dcnprof_{name}_{"bwd" if args.bwd else "fwd"}'
+        tdir = (f'/tmp/dcnprof_{name}_{"bwd" if args.bwd else "fwd"}'
+                f'{args.tag}')
         shutil.rmtree(tdir, ignore_errors=True)
         jax.profiler.start_trace(tdir)
         for i in range(args.iters):

@@ -579,6 +579,13 @@ def _packed_conv_fwd(flat, start, fx, fym, my, wk, dims):
     right = jnp.concatenate([packed[:, 1:], jnp.zeros_like(packed[:, :1])],
                             axis=1)
     src = jnp.concatenate([packed, right], axis=-1)   # [B, R, 2C] u32
+    if os.environ.get('VD3D_DCN_GATHER_BARRIER') == '1':
+        # Probe lever: forbid XLA from fusing the pack/concat producer or
+        # the index arithmetic into the gather program. A host-index probe
+        # of the same geometry (tools/probe_gather_height.py) measures the
+        # bare gather ~4x faster than the in-model one; this isolates
+        # whether operand/index fusion is the gap.
+        src, start = jax.lax.optimization_barrier((src, start))
     g = _gather_rows(src, start)                      # [B, N, 2C] u32
     wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.bfloat16)
     out = _lerp_matmul_pallas(g.reshape(b * n, 2 * c),
@@ -603,7 +610,11 @@ def _pairs_conv_ref(flat, start, fx, fym, my, wk, wp, hw):
                       preferred_element_type=sampled.dtype)
 
 
-def _packed_conv_bwd(dims, res, ct):
+def _packed_conv_bwd_pairsref(dims, res, ct):
+    """Legacy backward: full recompute through the pairs formulation
+    (VD3D_DCN_BWD=pairs). Measured 77 ms fwd+bwd at (4,96,320,64) bf16 —
+    slower than running pairs end to end (67 ms), which is why r2/r3
+    training stayed on the pairs path."""
     wp, hw = dims
     flat, start, fx, fym, my, wk = res
     _, vjp = jax.vjp(
@@ -612,6 +623,165 @@ def _packed_conv_bwd(dims, res, ct):
         flat, fx, fym, my, wk)
     d_flat, d_fx, d_fym, d_my, d_wk = vjp(ct.astype(flat.dtype))
     return d_flat, None, d_fx, d_fym, d_my, d_wk
+
+
+def _lerp_matmul_bwd_kernel(g_ref, w_ref, ct_ref, wk_ref,
+                            dcorner_ref, dwts_ref, dwk_ref, *, c: int):
+    """Backward of the fused lerp + tap-matmul block.
+
+    Grid (K, pix_tiles) — taps OUTER so the [C, Cout] per-tap weight-grad
+    output block is revisited consecutively across the inner pixel steps
+    (f32 accumulate in the output block itself). Recomputes the fwd
+    kernel's intermediates (incl. the bf16 cast of `sampled`, so d_wk is
+    the exact vjp of what the fwd actually multiplied), then emits:
+      dcorner [TP, 4C] = [d(y0,x0) | d(y1,x0) | d(y0,x1) | d(y1,x1)]
+        (row-scatter-ready: lanes :2C update flat row x0 in the
+        [flat | down] pairs space, lanes 2C: update row x0+1);
+      dwts    [TP, 4]  = d(1-fx), d(fx), d(my), d(fym);
+      dwk     [C, Cout] f32 (accumulated over pixels and batch).
+    """
+    t = pl.program_id(1)
+    g = g_ref[:]
+    lo = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(g & jnp.uint32(0xFFFF0000), jnp.float32)
+    wq = w_ref[:].astype(jnp.float32)           # [TP, 4]: 1-fx, fx, my, fym
+    v = lo * wq[:, 2:3] + hi * wq[:, 3:4]       # [TP, 2C]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    wx = jnp.where(lane < c, wq[:, 0:1], wq[:, 1:2])
+    vw = v * wx
+    sampled = (vw[:, :c] + vw[:, c:]).astype(jnp.bfloat16)   # [TP, C]
+    dy = ct_ref[:].astype(jnp.bfloat16)         # [TP, Cout]
+
+    @pl.when(t == 0)
+    def _():
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+
+    dwk_ref[0] += jax.lax.dot_general(
+        sampled, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [C, Cout]
+
+    ds = jax.lax.dot_general(
+        dy, wk_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [TP, C]
+    ds2 = jnp.concatenate([ds, ds], axis=1)     # both x-halves see ds
+    dv = ds2 * wx
+    dwx = ds2 * v
+    dw0 = jnp.sum(dwx[:, :c], axis=1, keepdims=True)    # d(1-fx)
+    dw1 = jnp.sum(dwx[:, c:], axis=1, keepdims=True)    # d(fx)
+    dw2 = jnp.sum(dv * lo, axis=1, keepdims=True)       # d(my)
+    dw3 = jnp.sum(dv * hi, axis=1, keepdims=True)       # d(fym)
+    dwts_ref[:] = jnp.concatenate(
+        [dw0, dw1, dw2, dw3], axis=1).astype(dwts_ref.dtype)
+    dlo = dv * wq[:, 2:3]
+    dhi = dv * wq[:, 3:4]
+    dcorner_ref[:] = jnp.concatenate(
+        [dlo[:, :c], dhi[:, :c], dlo[:, c:], dhi[:, c:]],
+        axis=1).astype(dcorner_ref.dtype)
+
+
+def _pick_pixrows_bwd(hw: int, c: int, cout: int,
+                      budget: int = 8 * 2 ** 20) -> int | None:
+    """VMEM-budgeted pixel rows per bwd block: ~10 [TP, 2C] f32 temporaries
+    (distinct stack slots), the [TP, 4C] output, two [TP, 4->128] blocks,
+    ct + ds, and the f32 [C, Cout] accumulator held across steps."""
+    per_row = (10 * (2 * c) * 4 + (4 * c) * 2 + 2 * 128 * 4
+               + max(cout, 128) * 2 + max(c, 128) * 4)
+    for tp in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if hw % tp == 0 and tp * per_row + c * max(cout, 128) * 4 <= budget:
+            return tp
+    return None
+
+
+def _packed_conv_bwd(dims, res, ct):
+    """Direct backward of the packed path (default; VD3D_DCN_BWD=pairs for
+    the legacy recompute). Re-packs and re-gathers the u32 corner rows
+    (~6.5 ms at the probe shape vs 15.3 for the pairs re-gather), runs one
+    Pallas kernel for all lerp/matmul grads (the [N, 2C] intermediate
+    chains never touch HBM), and keeps the proven height-1 row-scatter for
+    the image gradient."""
+    if os.environ.get('VD3D_DCN_BWD') == 'pairs':
+        return _packed_conv_bwd_pairsref(dims, res, ct)
+    wp, hw = dims
+    flat, start, fx, fym, my, wk = res
+    b, r, c = flat.shape
+    n = start.shape[1]
+    kt = wk.shape[0]
+    cout = wk.shape[-1]
+    if _pick_pixrows_bwd(hw, c, cout) is None:
+        # the bwd kernel's VMEM budget is tighter than the fwd's; shapes
+        # that fit fwd but not bwd fall back to the pairs-recompute vjp
+        return _packed_conv_bwd_pairsref(dims, res, ct)
+
+    lo = jax.lax.bitcast_convert_type(flat, jnp.uint16).astype(jnp.uint32)
+    down = jnp.concatenate([lo[:, wp:], jnp.zeros_like(lo[:, :wp])], axis=1)
+    packed = lo | (down << 16)
+    right = jnp.concatenate([packed[:, 1:], jnp.zeros_like(packed[:, :1])],
+                            axis=1)
+    src = jnp.concatenate([packed, right], axis=-1)   # [B, R, 2C] u32
+    g = _gather_rows(src, start)                      # [B, N, 2C] u32
+    wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.bfloat16)
+
+    tp = _pick_pixrows_bwd(hw, c, cout)
+    assert tp is not None, 'packed bwd needs a VMEM-fitting pixel tile'
+    ppb = hw // tp
+    row_map = lambda kk, t: ((t // ppb) * (kt * ppb) + kk * ppb + (t % ppb),
+                             0)
+    interpret = jax.default_backend() != 'tpu'
+    dcorner, dwts, dwk = pl.pallas_call(
+        functools.partial(_lerp_matmul_bwd_kernel, c=c),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * n, 4 * c), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b * n, 4), jnp.float32),
+            jax.ShapeDtypeStruct((kt, c, cout), jnp.float32),
+        ),
+        grid=(kt, b * ppb),
+        in_specs=[
+            pl.BlockSpec((tp, 2 * c), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 4), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, cout), lambda kk, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, cout), lambda kk, t: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tp, 4 * c), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 4), row_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, cout), lambda kk, t: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * b * n * c * cout // kt * kt + 12 * b * n * 2 * c,
+            transcendentals=0,
+            bytes_accessed=b * n * (2 * c * 4 + 4 * c * 2 + cout * 2 + 32)),
+        interpret=interpret,
+    )(g.reshape(b * n, 2 * c), wts.reshape(b * n, 4),
+      ct.reshape(b * hw, cout), wk.astype(jnp.bfloat16))
+
+    # image gradient: scatter into the pairs [flat | down] space as
+    # height-1 row slices (the overlapping 2-row scatter serializes — see
+    # _gather_pairs). Row x0 takes lanes :2C of dcorner, row x0+1 lanes 2C:.
+    dcorner = dcorner.reshape(b, n, 4 * c)
+    idx = start[:, :, 0]
+    idx2 = jnp.concatenate([idx, idx + 1], axis=1)               # [B, 2N]
+    upd = jnp.concatenate(
+        [dcorner[..., :2 * c], dcorner[..., 2 * c:]], axis=1)    # [B,2N,2C]
+    upd = upd.astype(flat.dtype)
+
+    def scat(i, u):
+        return jnp.zeros((r, 2 * c), u.dtype).at[
+            jnp.clip(i, 0, r - 1)].add(u, mode='drop')
+
+    srcgrad = jax.vmap(scat)(idx2, upd)                          # [B, R, 2C]
+    d_flat = srcgrad[:, :, :c] + jnp.concatenate(
+        [jnp.zeros((b, wp, c), srcgrad.dtype), srcgrad[:, :r - wp, c:]],
+        axis=1)
+
+    dwts = dwts.reshape(b, n, 4)
+    d_fx = (dwts[..., 1] - dwts[..., 0]).astype(fx.dtype)
+    d_my = dwts[..., 2].astype(my.dtype)
+    d_fym = dwts[..., 3].astype(fym.dtype)
+    return (d_flat.astype(flat.dtype), None, d_fx, d_fym, d_my,
+            dwk.astype(wk.dtype))
 
 
 _packed_conv.defvjp(_packed_conv_fwd, _packed_conv_bwd)
@@ -668,12 +838,14 @@ def modulated_deform_conv(x: jnp.ndarray,
     start = (y0p * wp + x0p).reshape(b, -1, 1)            # [B, N*K, 1]
     n = ho * wo * k
 
-    # the packed paths are inference-only: their fwd beats the pair-gather's
-    # (bf16 u32-packing halves the gather; f32 fuses lerp+matmul in VMEM),
-    # but their backward (recompute via the pairs formulation) is slower, so
-    # training sticks to pairs
+    # the premul/f32-packed paths are inference-only; the bf16 packed path
+    # now also serves TRAINING (r4): its direct Pallas backward
+    # (_packed_conv_bwd) replaced the pairs-recompute vjp that made it a
+    # net loss in r2 (77 ms vs 67 pairs fwd+bwd at the probe shape).
+    # VD3D_DCN_TRAIN_PACKED=0 falls back to the pairs path for training.
+    train_packed = os.environ.get('VD3D_DCN_TRAIN_PACKED', '1') == '1'
     use_pre = not train and _premul_ok(ho * wo, c_in, c_out, f)
-    use_p16 = (not train and not use_pre
+    use_p16 = ((not train or train_packed) and not use_pre
                and _packed_ok(ho * wo, c_in, c_out, f))
     use_p32 = (not train and not use_pre and not use_p16
                and _packed_f32_ok(ho * wo, c_in, c_out, f))
