@@ -87,9 +87,30 @@ def main():
         sets.append(jnp.asarray(idx[:, None]))
 
     iters = int(os.environ.get('PROBE_ITERS', str(n_sets)))
+    # PROBE_SPLIT=1: issue one gather PER COPY (operand = a [R, C] slice of
+    # src) instead of one big gather over the whole [copies*R, C] operand.
+    # The copies=1-vs-16 runs showed 2.5 vs 10.6 ns/slice at identical slice
+    # counts — gather cost is SOURCE-FOOTPRINT bound. This mode asks whether
+    # shrinking each gather op's operand (not the total data touched)
+    # recovers the fast rate: per-copy reuse is only ~8.5x vs 136x when all
+    # copies alias one source, so a small cache could still miss.
+    split = os.environ.get('PROBE_SPLIT') == '1' and src_copies > 1
     for height in heights:
-        fn = jax.jit(lambda sr, ix, h=height:
-                     gather_rows(sr, ix, h).sum(dtype=jnp.uint32))
+        if split:
+            def fn_(sr, ix, h=height):
+                per = ix.shape[0] // b
+                tot = jnp.uint32(0)
+                for bi in range(b):
+                    sub = jax.lax.dynamic_slice_in_dim(
+                        sr, (bi % src_copies) * R, R, 0)
+                    rel = jax.lax.dynamic_slice_in_dim(ix, bi * per, per, 0)
+                    tot += gather_rows(sub, rel - (bi % src_copies) * R,
+                                       h).sum(dtype=jnp.uint32)
+                return tot
+            fn = jax.jit(fn_)
+        else:
+            fn = jax.jit(lambda sr, ix, h=height:
+                         gather_rows(sr, ix, h).sum(dtype=jnp.uint32))
         ms = device_ms(fn, [(src, ix) for ix in sets], iters=iters)
         rows = n * height
         print(f'rows[{src_copies}x{R},{C}] b={b} height={height}: '

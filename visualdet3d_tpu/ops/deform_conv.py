@@ -42,6 +42,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -63,16 +64,39 @@ def _tap_coords(offset, ho, wo, kh, kw, stride, padding, dilation, dtype):
     return py, px
 
 
+# The v5e gather engine is SOURCE-FOOTPRINT bound, not slice-count bound:
+# at the KM3D stride-4 geometry (4.42 M height-1 [1, 128-lane-u32] slices,
+# identical index pattern) one batched gather over a 16x32400x128 u32
+# operand (265 MB) measures 10.6 ns/slice, while 16 per-item gathers over
+# its 16.6 MB [32400, 128] slices measure 2.7 ns/slice — 3.9x — even
+# though per-item row reuse is only ~8.5x (tools/probe_gather_height.py,
+# r4). Splitting the batched gather into per-item gathers is therefore
+# nearly-free bandwidth; below this operand footprint the batched form is
+# kept (one HLO, no concat).
+_SPLIT_GATHER_MIN_BYTES = 32 << 20
+
+
+def _split_gather(src, start, gather1):
+    """Dispatch [B, ...] gathers: per-item when the operand is large (the
+    gather-locality win above), one vmapped/batched gather otherwise."""
+    b = src.shape[0]
+    nbytes = int(np.prod(src.shape)) * src.dtype.itemsize
+    if (b > 1 and nbytes > _SPLIT_GATHER_MIN_BYTES
+            and os.environ.get('VD3D_DCN_SPLIT_GATHER', '1') == '1'):
+        return jnp.stack([gather1(src[i], start[i]) for i in range(b)])
+    return jax.vmap(gather1)(src, start)
+
+
 def _raw_gather_pairs(src: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     """[B, R, Ck], [B, N, 1] -> [B, N, 2, Ck] row-pair gather, any dtype."""
     cols = src.shape[-1]
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-    return jax.vmap(
+    return _split_gather(
+        src, start,
         lambda s, i: jax.lax.gather(
             s, i, dnums, slice_sizes=(2, cols),
-            mode=jax.lax.GatherScatterMode.CLIP)
-    )(src, start)
+            mode=jax.lax.GatherScatterMode.CLIP))
 
 
 @jax.custom_vjp
@@ -211,11 +235,11 @@ def _gather_rows(src: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
     cols = src.shape[-1]
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
-    return jax.vmap(
+    return _split_gather(
+        src, start,
         lambda s, i: jax.lax.gather(
             s, i, dnums, slice_sizes=(1, cols),
-            mode=jax.lax.GatherScatterMode.CLIP)
-    )(src, start)
+            mode=jax.lax.GatherScatterMode.CLIP))
 
 
 def _lerp_matmul_alltaps_kernel(g_ref, w_ref, wk_ref, o_ref, *, c: int,
@@ -580,11 +604,12 @@ def _packed_conv_fwd(flat, start, fx, fym, my, wk, dims):
                             axis=1)
     src = jnp.concatenate([packed, right], axis=-1)   # [B, R, 2C] u32
     if os.environ.get('VD3D_DCN_GATHER_BARRIER') == '1':
-        # Probe lever: forbid XLA from fusing the pack/concat producer or
-        # the index arithmetic into the gather program. A host-index probe
-        # of the same geometry (tools/probe_gather_height.py) measures the
-        # bare gather ~4x faster than the in-model one; this isolates
-        # whether operand/index fusion is the gap.
+        # Probe lever (kept for A/B): forbid XLA from fusing the
+        # pack/concat producer or index arithmetic into the gather program.
+        # RESOLVED r4: the 4x bare-vs-in-model gap was NOT fusion — it was
+        # the batched operand's footprint (tools/probe_gather_height.py:
+        # 2.5 ns/slice on a 16.6 MB source vs 10.6 on 265 MB, identical
+        # slice count/pattern). _split_gather exploits it.
         src, start = jax.lax.optimization_barrier((src, start))
     g = _gather_rows(src, start)                      # [B, N, 2C] u32
     wts = jnp.stack([1.0 - fx, fx, my, fym], axis=-1).astype(jnp.bfloat16)
