@@ -115,6 +115,30 @@ def test_correlation_volume_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_correlation_volume_interleaved_matches_split():
+    """Interleaved-eye kernel == split+corr, incl. a non-dividing H tail
+    (H=12, TR=8 on TPU) and the custom-VJP backward."""
+    from visualdet3d_tpu.ops.cost_volume import (
+        correlation_volume_pallas_interleaved, correlation_volume_interleaved)
+
+    rng = np.random.default_rng(7)
+    interpret = jax.default_backend() != 'tpu'
+    for h in (8, 12):
+        both = rng.standard_normal((4, h, 32, 16)).astype(np.float32)
+        ref = correlation_volume_xla(jnp.asarray(both[0::2]),
+                                     jnp.asarray(both[1::2]), 8)
+        out = correlation_volume_pallas_interleaved(jnp.asarray(both), 8,
+                                                    interpret=interpret)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    both = jnp.asarray(rng.standard_normal((4, 8, 32, 16)).astype(np.float32))
+    g_ref = jax.grad(lambda x: jnp.sum(
+        correlation_volume_xla(x[0::2], x[1::2], 8) ** 2))(both)
+    g_out = jax.grad(lambda x: jnp.sum(
+        correlation_volume_interleaved(x, 8, use_pallas=False) ** 2))(both)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-5)
+
+
 def test_concat_volume_semantics():
     rng = np.random.default_rng(4)
     left = rng.standard_normal((1, 2, 8, 3)).astype(np.float32)

@@ -236,6 +236,16 @@ class Int8InferenceMixin:
 
     int8_deny: tuple = ()
 
+    def _int8_deny_set(self) -> frozenset:
+        """Deny set; VD3D_INT8_ALL=1 lifts it (quantizes the final
+        prediction convs too — accepts extra raw-output quantization noise
+        for ~2 ms of batch-16 stereo conv time; the test_quant parity/AP
+        gates are the arbiter of whether that trade is safe)."""
+        import os
+        if os.environ.get('VD3D_INT8_ALL', '') == '1':
+            return frozenset()
+        return frozenset(self.int8_deny)
+
     def _eval_apply(self, variables, *inputs):
         return self.net.apply(variables, *inputs, train=False)
 
@@ -247,7 +257,7 @@ class Int8InferenceMixin:
     def calibrate_int8(self, variables, batches):
         """Per-conv activation absmax over calibration batches (f32 vars)."""
         return record_act_absmax(self._eval_apply, variables, batches,
-                                 deny=frozenset(self.int8_deny))
+                                 deny=self._int8_deny_set())
 
     def quantize_int8(self, variables, act_absmax, image_hw,
                       batch_size: int = 1):
@@ -256,7 +266,7 @@ class Int8InferenceMixin:
         return quantize_variables(
             variables, act_absmax, self._eval_apply,
             *self._int8_trace_args(image_hw, batch_size),
-            deny=frozenset(self.int8_deny))
+            deny=self._int8_deny_set())
 
     def _inference_cast(self, variables, images_list):
         """Apply cfg.inference_dtype: returns (variables, cast image list,

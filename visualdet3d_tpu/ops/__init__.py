@@ -1,6 +1,7 @@
 from visualdet3d_tpu.ops.cost_volume import (
     concat_volume,
     correlation_volume,
+    correlation_volume_interleaved,
     correlation_volume_pallas,
     correlation_volume_xla,
 )

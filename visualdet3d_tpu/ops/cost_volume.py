@@ -57,8 +57,8 @@ def _pick_unroll(num_disp: int) -> int:
     return 1
 
 
-def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
-    """Blocks: l/r [TR, W, C] -> o [D, TR, W].
+def _corr_loop(l, r0, store, num_disp: int):
+    """Shared disparity loop: l/r0 [TR, W, C] f32; store(d, col [TR, W]).
 
     VMEM-shape lessons baked in (all paid for on real v5e):
     * each per-disparity slice is a 2-D [TR, W] tile with W on lanes — a
@@ -74,11 +74,7 @@ def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
       inner with STATIC shifts 0..unroll-1 (unroll x [TR, W, C] f32
       temporaries — sized to fit scoped VMEM via the block-row budget).
     """
-    # DMA in the input dtype (bf16 halves HBM traffic) but compute/rotate in
-    # f32 — Mosaic's rotate only supports 32-bit data
-    l = l_ref[:].astype(jnp.float32)  # [TR, W, C]
-    r0 = r_ref[:].astype(jnp.float32)
-    scale = jnp.asarray(1.0 / c, jnp.float32)
+    scale = jnp.asarray(1.0 / l.shape[-1], jnp.float32)
     tr, w, _ = l.shape
     w_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 1)
     unroll = _pick_unroll(num_disp)
@@ -90,10 +86,32 @@ def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
             r_sh = pltpu.roll(r_base, shift=j, axis=1) if j else r_base
             col = jnp.sum(l * r_sh, axis=-1) * scale  # [TR, W]
             col = jnp.where(w_ids >= d0 + j, col, 0.0)
-            o_ref[pl.ds(d0 + j, 1)] = col.astype(o_ref.dtype)[None]
+            store(d0 + j, col)
         return pltpu.roll(r_base, shift=unroll, axis=1)
 
     jax.lax.fori_loop(0, num_disp // unroll, outer, r0)
+
+
+def _corr_kernel(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
+    """Blocks: l/r [TR, W, C] -> o [D, TR, W] (see _corr_loop)."""
+    # DMA in the input dtype (bf16 halves HBM traffic) but compute/rotate in
+    # f32 — Mosaic's rotate only supports 32-bit data
+    def store(d, col):
+        o_ref[pl.ds(d, 1)] = col.astype(o_ref.dtype)[None]
+
+    _corr_loop(l_ref[:].astype(jnp.float32), r_ref[:].astype(jnp.float32),
+               store, num_disp)
+
+
+def _corr_kernel_eyes(l_ref, r_ref, o_ref, *, num_disp: int, c: int):
+    """Interleaved dual-eye blocks: l/r [1, TR, W, C] (even/odd batch rows
+    of the SAME [2B, H, W, C] operand, selected by the BlockSpec index
+    maps) -> o [D, 1, TR, W]."""
+    def store(d, col):
+        o_ref[pl.ds(d, 1)] = col.astype(o_ref.dtype)[None, None]
+
+    _corr_loop(l_ref[0].astype(jnp.float32), r_ref[0].astype(jnp.float32),
+               store, num_disp)
 
 
 @functools.partial(jax.jit, static_argnames=('num_disp', 'interpret'))
@@ -183,6 +201,98 @@ def correlation_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int,
     if use_pallas:
         return _correlation_volume_tpu(left, right, num_disp)
     return correlation_volume_xla(left, right, num_disp)
+
+
+@functools.partial(jax.jit, static_argnames=('num_disp', 'interpret'))
+def correlation_volume_pallas_interleaved(both: jnp.ndarray, num_disp: int,
+                                          interpret: bool = False) -> jnp.ndarray:
+    """Correlation volume straight off the interleaved dual-eye trunk.
+
+    ``both``: [2B, H, W, C] with rows (2b, 2b+1) = (left, right) of pair b
+    (the _stack_eyes layout) -> [B, H, W, D]. The eye de-interleave happens
+    in the BlockSpec index maps — left blocks read even batch rows, right
+    blocks odd rows of the SAME operand — so the [B,2,H,W,C] split copies
+    AND the custom call's operand relayout disappear: the kernel input IS
+    the barrier-pinned row-major trunk output (r4 int8 profile: ~1.0 ms of
+    copy.205 + fusion.352 at the stride-4 shape, batch 16).
+    """
+    b2, h, w, c = both.shape
+    b = b2 // 2
+    unroll = _pick_unroll(num_disp)
+    itemsize = jnp.dtype(both.dtype).itemsize
+    bytes_per_row = (2 * 2 * w * c * itemsize + (2 + unroll) * 4 * w * c
+                     + 2 * w * num_disp * 4)
+    budget_rows = max(1, (4 * 1024 * 1024) // max(bytes_per_row, 1))
+    tr = None
+    for cand in range(min(h, budget_rows), 7, -1):
+        if cand % 8 == 0 and h % cand == 0:
+            tr = cand
+            break
+    if tr is None:
+        # rows are independent, so a non-dividing block is safe: Pallas
+        # masks the padded tail writes (verified on v5e at H=36, TR=8)
+        tr = 8
+    grid = (b, pl.cdiv(h, tr))
+    out = pl.pallas_call(
+        functools.partial(_corr_kernel_eyes, num_disp=num_disp, c=c),
+        out_shape=jax.ShapeDtypeStruct((num_disp, b, h, w), both.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tr, w, c), lambda bi, i: (2 * bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, w, c), lambda bi, i: (2 * bi + 1, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_disp, 1, tr, w),
+                               lambda bi, i: (0, bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(both, both)
+    # [D, B, H, W] -> [B, H, W, D]; XLA fuses this transpose into the consumer
+    return out.transpose(1, 2, 3, 0)
+
+
+def _split_interleaved(both: jnp.ndarray):
+    b = both.shape[0] // 2
+    x = both.reshape(b, 2, *both.shape[1:])
+    return x[:, 0], x[:, 1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _correlation_volume_interleaved_tpu(both, num_disp):
+    return correlation_volume_pallas_interleaved(both, num_disp)
+
+
+def _corr_eyes_fwd(both, num_disp):
+    return correlation_volume_pallas_interleaved(both, num_disp), both
+
+
+def _corr_eyes_bwd(num_disp, both, g):
+    def f(x):
+        l, r = _split_interleaved(x)
+        return correlation_volume_xla(l, r, num_disp)
+
+    _, vjp = jax.vjp(f, both)
+    return vjp(g)
+
+
+_correlation_volume_interleaved_tpu.defvjp(_corr_eyes_fwd, _corr_eyes_bwd)
+
+
+def correlation_volume_interleaved(both: jnp.ndarray, num_disp: int,
+                                   use_pallas: bool | None = None) -> jnp.ndarray:
+    """PSM cosine volume on the interleaved dual-eye tensor [2B, H, W, C].
+
+    Semantically identical to ``correlation_volume(both[0::2], both[1::2])``
+    (pinned by test); on TPU the de-interleave is free (index maps)."""
+    if use_pallas is None:
+        import os
+        impl = os.environ.get('VD3D_CORR_IMPL', 'pallas')
+        use_pallas = impl == 'pallas' and _on_tpu()
+    if use_pallas:
+        return _correlation_volume_interleaved_tpu(both, num_disp)
+    l, r = _split_interleaved(both)
+    return correlation_volume_xla(l, r, num_disp)
 
 
 # ---------------------------------------------------------------------------
