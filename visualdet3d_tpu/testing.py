@@ -30,9 +30,17 @@ def write_synthetic_priors(preprocessed_path: str, obj_types, num_scales: int = 
         std[..., 0] = 8.0
         std[..., 1:3] = 0.6
         std[..., 3:] = 0.25
-        np.save(os.path.join(d, f'anchor_mean_{t}.npy'), mean)
-        np.save(os.path.join(d, f'anchor_std_{t}.npy'), std)
+        _atomic_save(os.path.join(d, f'anchor_mean_{t}.npy'), mean)
+        _atomic_save(os.path.join(d, f'anchor_std_{t}.npy'), std)
     return preprocessed_path
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    """np.save via rename: concurrent processes (e.g. two bench.py runs
+    sharing the default /tmp priors dir) never observe a half-written file."""
+    tmp = f'{path}.tmp.{os.getpid()}.npy'  # .npy suffix: np.save appends it otherwise
+    np.save(tmp, arr)
+    os.replace(tmp, path)
 
 
 def stereo3d_detector_cfg(preprocessed_path: str, obj_types=('Car', 'Pedestrian'),
