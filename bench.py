@@ -42,7 +42,10 @@ def _device_ms(fn, argsets, iters=12):
     return device_ms(fn, argsets, iters=iters)
 
 
-def bench_stereo(batch, dtype):
+def bench_stereo(batch, dtype, bs1_dtype=None):
+    """bs1_dtype: dtype for the batch-1 latency measurement. Auto picks bf16
+    there: int8's per-call quantize overhead loses below batch ~4 (measured
+    r4: bs1 int8 8.63 ms vs 6.99 bf16 device; VERDICT r4 #5)."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _build_system
@@ -55,26 +58,41 @@ def bench_stereo(batch, dtype):
     system.anchor_pack(image_hw)
     # fold BN into conv kernels (f32), THEN cast weights once outside jit
     variables = system.fold_inference_variables(variables, image_hw)
+    folded_f32 = variables
     rng = np.random.default_rng(0)
-    if dtype == 'int8':
-        # post-training quantization: calibrate activation scales on a
-        # couple of batches, move selected conv kernels into the int8
-        # 'quant' collection (models/quant.py); predict runs them on the
-        # MXU at 394 TOPS with the non-conv remainder in bf16
-        P2c = jnp.asarray(np.tile(KITTI_P2, (2, 1, 1)))
-        calib = [(jnp.asarray(rng.standard_normal((2, *image_hw, 3)).astype(np.float32)),
-                  jnp.asarray(rng.standard_normal((2, *image_hw, 3)).astype(np.float32)),
-                  P2c) for _ in range(2)]
-        absmax = system.calibrate_int8(variables, calib)
-        variables = jax.device_put(
-            system.quantize_int8(variables, absmax, image_hw))
-    elif dtype != 'float32':
-        variables = jax.device_put(cast_floating(variables, dtype))
 
-    @jax.jit
-    def forward(variables, left, right, P2):
-        out = system.predict(variables, left, right, P2, max_detections=32)
-        return out['scores'], out['bboxes'], out['labels'], out['valid']
+    def prep(dt):
+        if dt == 'int8':
+            # post-training quantization: calibrate activation scales on a
+            # couple of batches, move selected conv kernels into the int8
+            # 'quant' collection (models/quant.py); predict runs them on the
+            # MXU at 394 TOPS with the non-conv remainder in bf16
+            crng = np.random.default_rng(0)
+            P2c = jnp.asarray(np.tile(KITTI_P2, (2, 1, 1)))
+            calib = [(jnp.asarray(crng.standard_normal(
+                          (2, *image_hw, 3)).astype(np.float32)),
+                      jnp.asarray(crng.standard_normal(
+                          (2, *image_hw, 3)).astype(np.float32)),
+                      P2c) for _ in range(2)]
+            absmax = system.calibrate_int8(folded_f32, calib)
+            return jax.device_put(
+                system.quantize_int8(folded_f32, absmax, image_hw))
+        if dt != 'float32':
+            return jax.device_put(cast_floating(folded_f32, dt))
+        return folded_f32
+
+    variables = prep(dtype)
+
+    def make_forward(dt):
+        @jax.jit
+        def forward(variables, left, right, P2):
+            system.cfg.inference_dtype = dt
+            out = system.predict(variables, left, right, P2,
+                                 max_detections=32)
+            return out['scores'], out['bboxes'], out['labels'], out['valid']
+        return forward
+
+    forward = make_forward(dtype)
 
     rng = np.random.default_rng(0)
     P2 = jnp.asarray(np.tile(KITTI_P2, (batch, 1, 1)))
@@ -88,26 +106,32 @@ def bench_stereo(batch, dtype):
     fps = batch / ms_device * 1000
 
     # p50 latency at batch 1 (distinct inputs per call)
+    bs1_dtype = bs1_dtype or dtype
+    if bs1_dtype != dtype:
+        vars1 = prep(bs1_dtype)
+        forward1 = make_forward(bs1_dtype)
+    else:
+        vars1, forward1 = variables, forward
     P21 = P2[:1]
     # host-uploaded batch-1 inputs (device-computed inputs can be lazily
     # elided by the relay, CLAUDE.md)
     ones = [(jnp.asarray(rng.standard_normal((1, *image_hw, 3)).astype(np.float32)),
              jnp.asarray(rng.standard_normal((1, *image_hw, 3)).astype(np.float32)))
             for _ in range(n_sets)]
-    jax.block_until_ready(forward(variables, ones[0][0], ones[0][1], P21))
+    jax.block_until_ready(forward1(vars1, ones[0][0], ones[0][1], P21))
     lats = []
     for i in range(12):
         l1, r1 = ones[i % n_sets]
         t = time.perf_counter()
-        jax.block_until_ready(forward(variables, l1, r1, P21))
+        jax.block_until_ready(forward1(vars1, l1, r1, P21))
         lats.append(time.perf_counter() - t)
     p50_ms = float(np.median(lats) * 1000)
     # the wall p50 through the axon relay is ~85% HTTP round-trip (measured
     # r3: 37-42 ms wall vs 6.9 ms device); record the honest device number
-    p50_dev_ms = _device_ms(forward,
-                            [(variables, l, r, P21) for l, r in ones],
+    p50_dev_ms = _device_ms(forward1,
+                            [(vars1, l, r, P21) for l, r in ones],
                             iters=10)
-    return fps, ms_device, p50_ms, p50_dev_ms
+    return fps, ms_device, p50_ms, p50_dev_ms, bs1_dtype
 
 
 def bench_mono(batch, dtype):
@@ -309,11 +333,16 @@ def main():
     fps = 0.0
     if which in ('all', 'stereo'):
         st_dtype = per_model['stereo'] if auto else dtype
-        fps, ms_device, p50_ms, p50_dev_ms = bench_stereo(batch, st_dtype)
+        # auto is batch-aware: int8 wins at batch >= ~4, bf16 at bs1 (the
+        # quantize overhead dominates small batches — VERDICT r4 #5)
+        bs1_dtype = 'bfloat16' if auto else dtype
+        fps, ms_device, p50_ms, p50_dev_ms, bs1_dtype = bench_stereo(
+            batch, st_dtype, bs1_dtype=bs1_dtype)
         detail.update(stereo_image_hw=[288, 1280],
                       device_ms_per_batch=round(ms_device, 2),
                       p50_latency_ms_bs1=round(p50_ms, 2),
-                      p50_device_ms_bs1=round(p50_dev_ms, 2))
+                      p50_device_ms_bs1=round(p50_dev_ms, 2),
+                      bs1_dtype=bs1_dtype)
     if which in ('all', 'mono'):
         mono_dtype = per_model['mono'] if auto else dtype
         mono_fps, mono_ms = bench_mono(batch, mono_dtype)

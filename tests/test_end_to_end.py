@@ -23,11 +23,12 @@ from kitti_fixture import build_mini_kitti, write_split_files
 from test_data_layer import _make_cfg
 
 
-@pytest.fixture(scope='module')
-def full_cfg(tmp_path_factory):
-    root = build_mini_kitti(str(tmp_path_factory.mktemp('kitti')))
-    out = str(tmp_path_factory.mktemp('pre'))
-    split_dir = str(tmp_path_factory.mktemp('split'))
+def make_full_cfg(kitti_dir, pre_dir, split_dir):
+    """Mini-KITTI -> precompute -> full GAC trainer config (shared with
+    tests/test_cli_train_eval.py, which drives the same config through the
+    user-facing CLIs)."""
+    root = build_mini_kitti(kitti_dir)
+    out = pre_dir
     train, val = write_split_files(root, split_dir, [0, 1, 2], [0, 1])
 
     from visualdet3d_tpu.cli import imdb_precompute_3d
@@ -81,6 +82,13 @@ def full_cfg(tmp_path_factory):
         ),
     )
     return cfg
+
+
+@pytest.fixture(scope='module')
+def full_cfg(tmp_path_factory):
+    return make_full_cfg(str(tmp_path_factory.mktemp('kitti')),
+                         str(tmp_path_factory.mktemp('pre')),
+                         str(tmp_path_factory.mktemp('split')))
 
 
 def test_train_steps_and_evaluate(full_cfg):

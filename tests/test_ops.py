@@ -404,11 +404,35 @@ def test_modulated_deform_conv_split_gather_exact(monkeypatch):
     ref_fwd = dc.modulated_deform_conv(x, off, msk, w)
     ref_g = jax.grad(loss, argnums=(0, 1, 2, 3))(x, off, msk, w)
     monkeypatch.setattr(dc, '_SPLIT_GATHER_MIN_BYTES', 0)
+    monkeypatch.setattr(dc, '_SPLIT_GATHER_MIN_SLICES', 0)
     split_fwd = dc.modulated_deform_conv(x, off, msk, w)
     split_g = jax.grad(loss, argnums=(0, 1, 2, 3))(x, off, msk, w)
     np.testing.assert_array_equal(np.asarray(ref_fwd), np.asarray(split_fwd))
     for a, b in zip(ref_g, split_g):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_split_gather_predicate_geometry():
+    """The split fires for KM3D's stride-4/-8 DCN geometries (large per-item
+    slice counts: the measured 2.1x locality win) but NOT for the stereo
+    head's 18x80 DCN, whose 13k-slice/item split regressed the r4 flagship
+    bench ~25% (BENCH_r04 349.8 vs the pre-split 466.5 fps). Counts the
+    gather ops in the jaxpr of _gather_rows at each geometry."""
+    import importlib
+    dc = importlib.import_module('visualdet3d_tpu.ops.deform_conv')
+
+    def n_gathers(b, r, c_u32, n):
+        src = jax.ShapeDtypeStruct((b, r, c_u32), jnp.uint32)
+        start = jax.ShapeDtypeStruct((b, n, 1), jnp.int32)
+        jaxpr = jax.make_jaxpr(dc._gather_rows)(src, start)
+        return sum(1 for e in jaxpr.jaxpr.eqns if e.primitive.name == 'gather')
+
+    # KM3D stride-4: 96x320 map, 64 ch packed (2C u32 cols), 9 taps/pos.
+    assert n_gathers(16, (96 + 4) * (320 + 4), 64, 96 * 320 * 9) == 16
+    # Stereo head: 18x80 map, 1408 ch -> huge operand but only 13k slices.
+    assert n_gathers(16, (18 + 4) * (80 + 4), 1408, 18 * 80 * 9) == 1
+    # Small operand (batch 1-ish): always batched.
+    assert n_gathers(2, 32, 64, 9 * 64) == 1
 
 
 def test_modulated_deform_conv_is_differentiable():

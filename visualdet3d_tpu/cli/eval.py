@@ -20,6 +20,9 @@ def main():
     parser.add_argument('--config', default='configs/stereo3d.py')
     parser.add_argument('--checkpoint_path', required=True)
     parser.add_argument('--split_to_test', default='validation')
+    parser.add_argument('--quantized_path', default=None,
+                        help='pre-quantized int8 artifact from vd3d-quantize '
+                             '(skips on-the-fly calibration)')
     args = parser.parse_args()
 
     import jax
@@ -57,6 +60,12 @@ def main():
     restored = ckpt.restore(template)
     assert restored is not None, f'no checkpoint found in {args.checkpoint_path}'
     variables = {'params': restored.params, 'batch_stats': restored.batch_stats}
+
+    # honor detector.inference_dtype from the config (int8/bf16 TPU paths)
+    from visualdet3d_tpu.pipelines.inference_prep import (
+        prepare_inference_variables)
+    variables = prepare_inference_variables(
+        cfg, system, variables, dataset, quantized_path=args.quantized_path)
 
     evaluate_detection = PIPELINE_DICT[cfg.trainer.evaluate_func]
     evaluate_detection(cfg, system, variables, dataset, None, 0,

@@ -112,6 +112,9 @@ class KM3D(Int8InferenceMixin):
         img = jax.ShapeDtypeStruct((batch_size, *image_hw, 3), jnp.float32)
         return (img,)
 
+    def int8_calib_inputs(self, batch):
+        return (batch['images'],)
+
     def loss(self, variables, images, gts, P2, rng=None, train: bool = True,
              epoch: float = 100.0):
         """batch keys follow the RTM3D target dict; returns

@@ -245,6 +245,9 @@ class Stereo3D(Yolo3DSystem):
         ('StereoHead_0', '_ClsBranch_0', 'Conv_2'),
     )
 
+    def int8_calib_inputs(self, batch):
+        return (batch['left_images'], batch['right_images'], batch['P2'])
+
     def loss(self, variables, left_images, right_images, P2, P3, annotations,
              disparity=None, rng=None, train: bool = True):
         """reference: Stereo3D.train_forward (yolostereo3d_detector.py:42-75):

@@ -61,6 +61,16 @@ def _norm_padding(padding):
     return out
 
 
+def _s2d_enabled() -> bool:
+    """VD3D_INT8_S2D=1 also quantizes stride-2 convs via the exact
+    space-to-depth reformulation (stride-2 KxK == stride-1 ceil(K/2)^2 over
+    the 2x2-block-to-channel transform): the DIRECT stride-2 int8 emitter
+    was a measured 0.79x regression (tools/bench_int8_chain.py), which is
+    why plain stride-2 stays excluded."""
+    import os
+    return os.environ.get('VD3D_INT8_S2D', '') == '1'
+
+
 def default_select(mod: nn.Module, x, deny: frozenset) -> bool:
     """Quantize 2-D, ungrouped, stride-1 convs with cin/cout >= 64.
 
@@ -68,14 +78,22 @@ def default_select(mod: nn.Module, x, deny: frozenset) -> bool:
     below 64 channels the int8 conv emitter wins little, and stride-2 at 64
     channels is a measured 0.79x regression. ``deny`` excludes the final
     prediction convs (raw logits / regression outputs keep bf16 precision).
+    Stride-2 convs join via the s2d reformulation when VD3D_INT8_S2D=1
+    (``_s2d_enabled``), with no kernel dilation (the s2d identity assumes
+    dense taps).
     """
-    return (isinstance(mod, nn.Conv)
+    if not (isinstance(mod, nn.Conv)
             and len(mod.kernel_size) == 2
             and mod.feature_group_count == 1
             and hasattr(x, 'ndim') and x.ndim == 4
             and x.shape[-1] >= 64 and mod.features >= 64
-            and _pair(mod.strides or 1) == (1, 1)
-            and tuple(mod.path) not in deny)
+            and tuple(mod.path) not in deny):
+        return False
+    strides = _pair(mod.strides or 1)
+    if strides == (1, 1):
+        return True
+    return (strides == (2, 2) and _s2d_enabled()
+            and _pair(mod.kernel_dilation or 1) == (1, 1))
 
 
 def record_act_absmax(apply_fn: Callable, variables, batches: Iterable[tuple],
@@ -258,6 +276,12 @@ class Int8InferenceMixin:
         """Per-conv activation absmax over calibration batches (f32 vars)."""
         return record_act_absmax(self._eval_apply, variables, batches,
                                  deny=self._int8_deny_set())
+
+    def int8_calib_inputs(self, batch: dict) -> tuple:
+        """Collated dataset batch dict -> the ``_eval_apply`` input tuple
+        (so calibration can draw real images straight from a dataset —
+        the config/CLI quantization surface, pipelines/inference_prep.py)."""
+        return (batch['images'], batch['P2'])
 
     def quantize_int8(self, variables, act_absmax, image_hw,
                       batch_size: int = 1):

@@ -74,14 +74,24 @@ def _tap_coords(offset, ho, wo, kh, kw, stride, padding, dilation, dtype):
 # nearly-free bandwidth; below this operand footprint the batched form is
 # kept (one HLO, no concat).
 _SPLIT_GATHER_MIN_BYTES = 32 << 20
+# ... but only when the PER-ITEM gather is itself substantial. Splitting
+# pays B fixed costs (op dispatch, lost fusion with the consumer, the
+# re-batching stack): the r4 split at the stereo head's 18x80 DCN (13k
+# slices/item on a 166 MB packed operand) regressed the whole stereo
+# forward ~11 ms (BENCH_r04 349.8 fps vs the pre-split 466.5), while at
+# KM3D's stride-4 (276k slices/item) it won 2.1x. Split only in the
+# many-slices regime where the locality win dwarfs the per-op overhead.
+_SPLIT_GATHER_MIN_SLICES = 50_000
 
 
 def _split_gather(src, start, gather1):
-    """Dispatch [B, ...] gathers: per-item when the operand is large (the
-    gather-locality win above), one vmapped/batched gather otherwise."""
+    """Dispatch [B, ...] gathers: per-item when the operand is large AND the
+    per-item slice count amortizes the per-op overhead (the gather-locality
+    win above), one vmapped/batched gather otherwise."""
     b = src.shape[0]
     nbytes = int(np.prod(src.shape)) * src.dtype.itemsize
     if (b > 1 and nbytes > _SPLIT_GATHER_MIN_BYTES
+            and start.shape[1] >= _SPLIT_GATHER_MIN_SLICES
             and os.environ.get('VD3D_DCN_SPLIT_GATHER', '1') == '1'):
         return jnp.stack([gather1(src[i], start[i]) for i in range(b)])
     return jax.vmap(gather1)(src, start)

@@ -38,9 +38,14 @@ def write_synthetic_priors(preprocessed_path: str, obj_types, num_scales: int = 
 def _atomic_save(path: str, arr: np.ndarray) -> None:
     """np.save via rename: concurrent processes (e.g. two bench.py runs
     sharing the default /tmp priors dir) never observe a half-written file."""
+    import contextlib
     tmp = f'{path}.tmp.{os.getpid()}.npy'  # .npy suffix: np.save appends it otherwise
-    np.save(tmp, arr)
-    os.replace(tmp, path)
+    try:
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
 
 
 def stereo3d_detector_cfg(preprocessed_path: str, obj_types=('Car', 'Pedestrian'),
