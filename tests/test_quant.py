@@ -284,3 +284,128 @@ def test_km3d_int8_smoke():
     s_q = np.asarray(out_q['scores'][0])
     # scores near zero on random init; int8 must not invent detections
     np.testing.assert_allclose(s_q, s_f, atol=0.05)
+
+
+@pytest.mark.parametrize('k,pad,h,w,cin', [
+    (3, [(1, 1), (1, 1)], 12, 20, 8),   # resnet 3x3 s2 transition (torch pad)
+    (1, 'SAME', 12, 20, 8),             # 1x1 s2 downsample
+    (7, [(3, 3), (3, 3)], 18, 26, 4),   # stem-style 7x7 s2, odd padded dims
+    (3, 'SAME', 11, 19, 8),             # odd input dims, XLA SAME asymmetry
+    (2, [(0, 1), (1, 0)], 10, 14, 8),   # even kernel, asymmetric padding
+])
+def test_s2d_stride2_int8_conv_exact(k, pad, h, w, cin):
+    """The space-to-depth stride-2 reformulation (quant._s2d_conv_int8) is
+    bit-identical to the direct stride-2 int8 conv: pure integer
+    reassociation (int32 accumulators), so exact equality is required."""
+    rng = np.random.default_rng(3)
+    xq = jnp.asarray(rng.integers(-127, 128, (2, h, w, cin), dtype=np.int8))
+    kq = jnp.asarray(rng.integers(-127, 128, (k, k, cin, 16), dtype=np.int8))
+    padding = quant._resolve_padding(pad, (h, w), (k, k), (2, 2))
+    ref = jax.lax.conv_general_dilated(
+        xq, kq, (2, 2), padding,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    got = quant._s2d_conv_int8(xq, kq, padding)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_int8_s2d_selects_stride2_and_stays_exact(monkeypatch):
+    """VD3D_INT8_S2D=1 pulls stride-2 convs into the quant set; the
+    interceptor routes them through the s2d path and the whole-net output
+    matches the direct-emitter route bit-for-bit (same int8 inputs/weights,
+    reassociated integer sums)."""
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(64, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], use_bias=False)(x)
+            x = nn.relu(x)
+            x = nn.Conv(64, (3, 3), padding='SAME')(x)
+            return x
+
+    net = Net()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 64)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+
+    def apply_fn(v, im):
+        return net.apply(v, im)
+
+    def build(env):
+        monkeypatch.setenv('VD3D_INT8_S2D', env)
+        absmax = quant.record_act_absmax(apply_fn, variables, [(x,)])
+        qvars = quant.quantize_variables(variables, absmax, apply_fn, x)
+        qflat = quant.flatten_quant(qvars[quant.QUANT_COLLECTION])
+        return absmax, qvars, qflat
+
+    _, _, qflat_off = build('')
+    assert ('Conv_0',) not in qflat_off          # stride-2 excluded by default
+    absmax, qvars, qflat = build('1')
+    assert ('Conv_0',) in qflat and ('Conv_1',) in qflat
+
+    with nn.intercept_methods(quant.int8_interceptor(qflat, jnp.float32)):
+        y_s2d = apply_fn(qvars, x)
+
+    # same quantized weights through the direct stride-2 emitter
+    def direct(next_fn, args, kwargs, context):
+        mod = context.module
+        entry = qflat.get(tuple(mod.path))
+        if context.method_name == '__call__' and entry is not None:
+            inv = 1.0 / entry['act_scale']
+            xq = jnp.clip(jnp.round(args[0].astype(jnp.float32) * inv),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, entry['kernel_q'], quant._pair(mod.strides or 1),
+                quant._norm_padding(mod.padding),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (entry['w_scale'] * entry['act_scale'])
+            if 'bias' in entry:
+                y = y + entry['bias']
+            return y
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(direct):
+        y_direct = apply_fn(qvars, x)
+    np.testing.assert_array_equal(np.asarray(y_s2d), np.asarray(y_direct))
+
+
+def test_int8_all_and_s2d_gates(tiny_stereo_quantized, monkeypatch):
+    """VD3D_INT8_ALL=1 + VD3D_INT8_S2D=1 (quantize the prediction convs and
+    the stride-2 downsamples too) must still pass the decode-parity and
+    raw-error gates — these gates are the arbiter of whether the extra ~2 ms
+    of batch-16 conv time is safe to take (models/quant.py, VERDICT r4 #2a)."""
+    system, hw, variables, qvars_base, batches, _ = tiny_stereo_quantized
+    monkeypatch.setenv('VD3D_INT8_ALL', '1')
+    monkeypatch.setenv('VD3D_INT8_S2D', '1')
+    absmax = system.calibrate_int8(variables, batches)
+    qvars = system.quantize_int8(variables, absmax, hw)
+    qflat = quant.flatten_quant(qvars[quant.QUANT_COLLECTION])
+    base = quant.flatten_quant(qvars_base[quant.QUANT_COLLECTION])
+    extra = set(qflat) - set(base)
+    # the deny-listed prediction convs and at least one stride-2 conv joined
+    assert set(system.int8_deny) <= extra, extra
+
+    l, r, P2 = batches[0]
+    # raw-error gate (same bound as test_int8_raw_prediction_error_bounded)
+    cls_f, reg_f, _ = system.net.apply(variables, l, r, P2, train=False)
+    with nn.intercept_methods(quant.int8_interceptor(qflat, jnp.float32)):
+        cls_q, reg_q, _ = system.net.apply(qvars, l, r, P2, train=False)
+    for name, a, b in [('cls', cls_f, cls_q), ('reg', reg_f, reg_q)]:
+        scale = float(jnp.abs(a).max())
+        err = float(jnp.abs(a - b).max())
+        assert err < 0.05 * scale, (name, err, scale)
+
+    # decode-parity gate: detection count within 2 of f32
+    out_f = system.predict(variables, l, r, P2, max_detections=16)
+    system.cfg.inference_dtype = 'int8'
+    try:
+        out_q = system.predict(qvars, l, r, P2, max_detections=16)
+    finally:
+        system.cfg.inference_dtype = 'float32'
+    for b in range(2):
+        vf = int(np.asarray(out_f['valid'][b]).sum())
+        vq = int(np.asarray(out_q['valid'][b]).sum())
+        assert abs(vf - vq) <= 2, (vf, vq)

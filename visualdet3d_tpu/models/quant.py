@@ -167,7 +167,12 @@ def quantize_variables(variables, act_absmax: Dict[PathT, float],
         return out
 
     with nn.intercept_methods(interceptor):
-        jax.eval_shape(trace_fn, variables, *trace_args)
+        # trace through a FRESH function object: jax.eval_shape caches the
+        # trace per function identity, so re-quantizing with the same
+        # trace_fn (e.g. after toggling VD3D_INT8_S2D/VD3D_INT8_ALL in one
+        # process) would otherwise hit the cache, skip the interceptor, and
+        # silently select nothing.
+        jax.eval_shape(lambda v, *a: trace_fn(v, *a), variables, *trace_args)
 
     params = unfreeze(variables['params'])
     quant: dict = {}
@@ -209,18 +214,69 @@ def flatten_quant(quant) -> Dict[PathT, dict]:
     return flat
 
 
+def _resolve_padding(padding, in_hw, k_hw, strides):
+    """nn.Conv padding -> numeric [(pt,pb),(pl,pr)] (XLA SAME semantics)."""
+    if padding == 'VALID':
+        return [(0, 0), (0, 0)]
+    if padding == 'SAME':
+        out = []
+        for d, k, s in zip(in_hw, k_hw, strides):
+            o = -(-d // s)
+            total = max((o - 1) * s + k - d, 0)
+            out.append((total // 2, total - total // 2))
+        return out
+    return _norm_padding(padding)
+
+
+def _s2d_conv_int8(xq, kq, padding):
+    """Exact stride-2 int8 conv as space-to-depth + stride-1 VALID conv.
+
+    O[y,x] = sum_{dy,dx} X'[2y+dy, 2x+dx] W[dy,dx] with dy = 2q+a maps onto
+    a ceil(K/2)^2 stride-1 conv over Y[u,v,(a,b,c)] = X'[2u+a, 2v+b, c] with
+    W2[q,r,(a,b,c),o] = W[2q+a, 2r+b, c, o] (zero-padded where 2q+a >= K).
+    Integer arithmetic is reassociated only — bit-identical int32 results.
+    The point: the stride-1 form keeps the int8 MXU emitter on its fast
+    path (the direct stride-2 emitter measured 0.79x bf16,
+    tools/bench_int8_chain.py) and quadruples the contraction depth.
+    """
+    b, h, w, c = xq.shape
+    kh, kw, _, co = kq.shape
+    (pt, pb), (pl, pr) = padding
+    oh = (h + pt + pb - kh) // 2 + 1
+    ow = (w + pl + pr - kw) // 2 + 1
+    k2h, k2w = -(-kh // 2), -(-kw // 2)
+    hp, wp = h + pt + pb, w + pl + pr
+    xp = jnp.pad(xq, ((0, 0), (pt, pb + hp % 2), (pl, pr + wp % 2), (0, 0)))
+    u, v = (hp + hp % 2) // 2, (wp + wp % 2) // 2
+    y = xp.reshape(b, u, 2, v, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, u, v, 4 * c)
+    kp = jnp.pad(kq, ((0, 2 * k2h - kh), (0, 2 * k2w - kw), (0, 0), (0, 0)))
+    k2 = kp.reshape(k2h, 2, k2w, 2, c, co).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k2.reshape(k2h, k2w, 4 * c, co)
+    acc = jax.lax.conv_general_dilated(
+        y, k2, (1, 1), 'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    return acc[:, :oh, :ow]
+
+
 def _int8_conv(mod: nn.Conv, x, entry, compute_dtype):
     inv = 1.0 / entry['act_scale']
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
                   -127, 127).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(
-        xq, entry['kernel_q'],
-        window_strides=_pair(mod.strides or 1),
-        padding=_norm_padding(mod.padding),
-        rhs_dilation=_pair(mod.kernel_dilation or 1),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        feature_group_count=mod.feature_group_count,
-        preferred_element_type=jnp.int32)
+    strides = _pair(mod.strides or 1)
+    if strides == (2, 2) and _pair(mod.kernel_dilation or 1) == (1, 1):
+        padding = _resolve_padding(mod.padding, x.shape[1:3],
+                                   mod.kernel_size, strides)
+        acc = _s2d_conv_int8(xq, entry['kernel_q'], padding)
+    else:
+        acc = jax.lax.conv_general_dilated(
+            xq, entry['kernel_q'],
+            window_strides=strides,
+            padding=_norm_padding(mod.padding),
+            rhs_dilation=_pair(mod.kernel_dilation or 1),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=mod.feature_group_count,
+            preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (entry['w_scale'] * entry['act_scale'])
     if 'bias' in entry:
         y = y + entry['bias']
