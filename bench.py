@@ -272,6 +272,70 @@ def bench_train_stereo(batch):
     return ms
 
 
+def bench_train_km3d(batch):
+    """KM3D training step (fwd+bwd+clip+adam), f32: DLA-34 + DCN neck with
+    the packed-direct Pallas DCN backward (ops/deform_conv.py). Targets via
+    the real RTM3D target builder on a synthetic object (VERDICT r4 #8)."""
+    import jax
+    import jax.numpy as jnp
+    from visualdet3d_tpu.config import EasyDict as edict
+    from visualdet3d_tpu.data.kitti.dataset.km3d_dataset import (
+        KittiRTM3DDataset)
+    from visualdet3d_tpu.data.kitti.kittidata import KittiObj
+    from visualdet3d_tpu.registry import DETECTOR_DICT, PIPELINE_DICT
+    import visualdet3d_tpu.models  # noqa: F401
+    import visualdet3d_tpu.pipelines  # noqa: F401
+    from visualdet3d_tpu.pipelines.train_state import create_train_state
+    from visualdet3d_tpu.solver import build_optimizer
+
+    image_hw = (384, 1280)
+    cfg = edict(
+        obj_types=['Car'], name='KM3D',
+        backbone=edict(name='dla', depth=34),
+        head=edict(
+            layer_cfg=edict(
+                input_features=64, head_features=256,
+                head_dict={'hm': 1, 'wh': 2, 'hps': 18, 'rot': 8, 'dim': 3,
+                           'prob': 1, 'reg': 2, 'hm_hp': 9, 'hp_offset': 2}),
+            loss_cfg=edict(rampup_length=100),
+            test_cfg=edict(score_thr=0.1, nms_iou_thr=0.5, top_k=100)))
+    system = DETECTOR_DICT['KM3D'](cfg)
+    tx = build_optimizer(edict(type_name='adam', keywords=edict(lr=1e-4),
+                               clipped_gradient_norm=35.0))
+    state = create_train_state(system, jax.random.PRNGKey(0), image_hw, tx)
+    step = PIPELINE_DICT['train_rtm3d'](system, tx, donate=False)
+
+    obj = KittiObj()
+    obj.type, obj.truncated, obj.occluded = 'Car', 0.0, 0
+    obj.x, obj.y, obj.z, obj.ry = 2.0, 1.6, 12.0, 0.3
+    obj.h, obj.w, obj.l = 1.5, 1.6, 3.9
+    obj.alpha = obj.ry - np.arctan2(obj.x, obj.z)
+    obj.bbox_l, obj.bbox_t, obj.bbox_r, obj.bbox_b = 500, 150, 700, 260
+    ds = object.__new__(KittiRTM3DDataset)
+    ds.obj_types = ['Car']
+    ds.num_classes = 1
+    ds.num_vertexes = KittiRTM3DDataset.num_vertexes
+    ds.corner_matrix = KittiRTM3DDataset.corner_matrix
+    ds.max_objects = 32
+    targets = ds._build_target(np.zeros((*image_hw, 3), np.float32),
+                               KITTI_P2.copy(), [obj])
+    gts = {k: jnp.asarray(np.stack([np.asarray(v)] * batch))
+           for k, v in targets.items()}
+    P2 = jnp.asarray(np.tile(KITTI_P2, (batch, 1, 1)))
+
+    rng = np.random.default_rng(7)
+
+    def make_batch():
+        return dict(images=jnp.asarray(rng.standard_normal(
+            (batch, *image_hw, 3)).astype(np.float32)),
+            gts=gts, P2=P2, epoch=jnp.asarray(50.0, jnp.float32))
+
+    key = jax.random.PRNGKey(1)
+    argsets = [(state, make_batch(), key) for _ in range(3)]
+    ms = _device_ms(step, argsets, iters=4)
+    return ms
+
+
 def bench_train_gac(batch):
     """GAC mono training step (fwd+bwd+clip+adam), f32."""
     import jax
@@ -366,11 +430,17 @@ def main():
         train_batch = 8
         st_ms = bench_train_stereo(train_batch)
         gac_ms = bench_train_gac(train_batch)
+        km3d_train_batch = 4
+        km3d_ms = bench_train_km3d(km3d_train_batch)
         detail.update(stereo_train_ms=round(st_ms, 2),
                       stereo_train_batch=train_batch,
                       stereo_train_img_per_s=round(train_batch / st_ms * 1000, 1),
                       gac_train_ms=round(gac_ms, 2),
-                      gac_train_img_per_s=round(train_batch / gac_ms * 1000, 1))
+                      gac_train_img_per_s=round(train_batch / gac_ms * 1000, 1),
+                      km3d_train_ms=round(km3d_ms, 2),
+                      km3d_train_batch=km3d_train_batch,
+                      km3d_train_img_per_s=round(
+                          km3d_train_batch / km3d_ms * 1000, 1))
 
     # metric name + baseline divisor follow the selected model (the 500 fps
     # north-star is the stereo target; mono/KM3D report against their own
