@@ -71,6 +71,17 @@ def _s2d_enabled() -> bool:
     return os.environ.get('VD3D_INT8_S2D', '') == '1'
 
 
+def _min_channels() -> int:
+    """VD3D_INT8_MINCH (default 64): smallest cin/cout a conv needs to be
+    quantized. The 64-ch convs are memory-bound (~49 TOPS measured in the
+    r5 stereo profile — nowhere near the 394 int8 peak) and quantizing
+    layer1 drags an int8 (4,1)-retile layout dance into the stem (the
+    2.26 ms {3,0,2,1}->{3,2,1,0} relu fusion + slow maxpool); 128 keeps
+    layer1 bf16 to test whether the restored stem layout wins more."""
+    import os
+    return int(os.environ.get('VD3D_INT8_MINCH', '64'))
+
+
 def default_select(mod: nn.Module, x, deny: frozenset) -> bool:
     """Quantize 2-D, ungrouped, stride-1 convs with cin/cout >= 64.
 
@@ -82,11 +93,12 @@ def default_select(mod: nn.Module, x, deny: frozenset) -> bool:
     (``_s2d_enabled``), with no kernel dilation (the s2d identity assumes
     dense taps).
     """
+    minch = _min_channels()
     if not (isinstance(mod, nn.Conv)
             and len(mod.kernel_size) == 2
             and mod.feature_group_count == 1
             and hasattr(x, 'ndim') and x.ndim == 4
-            and x.shape[-1] >= 64 and mod.features >= 64
+            and x.shape[-1] >= minch and mod.features >= minch
             and tuple(mod.path) not in deny):
         return False
     strides = _pair(mod.strides or 1)
