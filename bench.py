@@ -66,7 +66,11 @@ def bench_stereo(batch, dtype, bs1_dtype=None):
             # post-training quantization: calibrate activation scales on a
             # couple of batches, move selected conv kernels into the int8
             # 'quant' collection (models/quant.py); predict runs them on the
-            # MXU at 394 TOPS with the non-conv remainder in bf16
+            # MXU at 394 TOPS with the non-conv remainder in bf16.
+            # int8_all (quantize the prediction convs too) measured -1.04 ms
+            # stereo / -0.39 ms mono at batch 16 (tools/bench_int8_knobs.py)
+            # and matches configs/stereo3d_int8.py.
+            system.cfg.int8_all = True
             crng = np.random.default_rng(0)
             P2c = jnp.asarray(np.tile(KITTI_P2, (2, 1, 1)))
             calib = [(jnp.asarray(crng.standard_normal(
@@ -154,6 +158,7 @@ def bench_mono(batch, dtype):
     system.anchor_pack(image_hw)
     variables = system.fold_inference_variables(variables, image_hw)
     if dtype == 'int8':
+        system.cfg.int8_all = True  # measured -0.39 ms (bench_int8_knobs)
         crng = np.random.default_rng(11)
         P2c = jnp.asarray(np.tile(KITTI_P2, (2, 1, 1)))
         calib = [(jnp.asarray(crng.standard_normal(

@@ -24,3 +24,7 @@ cfg = _base.cfg
 cfg.detector.inference_dtype = 'int8'
 # activation-scale calibration: frames drawn evenly from the split
 cfg.detector.calibration = edict(num_batches=8, batch_size=2)
+# also quantize the final prediction convs: measured -1.0 ms of batch-16
+# device time (tools/bench_int8_knobs.py 'all'), parity-gated by
+# tests/test_quant.py::test_int8_all_and_s2d_gates
+cfg.detector.int8_all = True

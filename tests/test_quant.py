@@ -409,3 +409,58 @@ def test_int8_all_and_s2d_gates(tiny_stereo_quantized, monkeypatch):
         vf = int(np.asarray(out_f['valid'][b]).sum())
         vq = int(np.asarray(out_q['valid'][b]).sum())
         assert abs(vf - vq) <= 2, (vf, vq)
+
+
+def test_int8_select_config_keys_and_env_precedence(monkeypatch):
+    """cfg.int8_min_channels / int8_s2d / int8_all feed the selection (the
+    config is the public API — reference scripts/eval.py:14-55); the
+    VD3D_INT8_* env knobs override for bench sweeps."""
+    from visualdet3d_tpu.config import EasyDict as edict
+
+    class Sys(quant.Int8InferenceMixin):
+        int8_deny = (('Head_0', 'Conv_9'),)
+
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+    for k in ('VD3D_INT8_ALL', 'VD3D_INT8_S2D', 'VD3D_INT8_MINCH'):
+        monkeypatch.delenv(k, raising=False)
+
+    s = Sys(edict())
+    sel = s._int8_select()
+    assert sel.keywords == dict(min_channels=64, s2d=False)
+    assert s._int8_deny_set() == frozenset(s.int8_deny)
+
+    s = Sys(edict(int8_min_channels=128, int8_s2d=True, int8_all=True))
+    sel = s._int8_select()
+    assert sel.keywords == dict(min_channels=128, s2d=True)
+    assert s._int8_deny_set() == frozenset()
+
+    # env overrides config in BOTH directions
+    monkeypatch.setenv('VD3D_INT8_MINCH', '64')
+    monkeypatch.setenv('VD3D_INT8_S2D', '0')
+    monkeypatch.setenv('VD3D_INT8_ALL', '0')
+    sel = s._int8_select()
+    assert sel.keywords == dict(min_channels=64, s2d=False)
+    assert s._int8_deny_set() == frozenset(s.int8_deny)
+
+    # the selection predicate honors min_channels on a real bound conv
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(96, (3, 3), padding='SAME')(x)
+
+    picked = {}
+
+    def probe(next_fn, args, kwargs, context):
+        mod = context.module
+        if context.method_name == '__call__' and isinstance(mod, nn.Conv):
+            for mc, want in [(64, True), (96, True), (128, False)]:
+                picked[mc] = quant.default_select(
+                    mod, args[0], frozenset(), min_channels=mc, s2d=False)
+        return next_fn(*args, **kwargs)
+
+    x = jnp.zeros((1, 8, 16, 96), jnp.float32)
+    with nn.intercept_methods(probe):
+        Net().init(jax.random.PRNGKey(0), x)
+    assert picked == {64: True, 96: True, 128: False}

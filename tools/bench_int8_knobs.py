@@ -1,13 +1,14 @@
-"""Measure the stereo int8 batch-16 forward under the int8 selection knobs.
+"""Measure the int8 batch-16 forward under the int8 selection knobs.
 
 VERDICT r5 #2: (a) VD3D_INT8_ALL (quantize the final prediction convs too),
 (b) VD3D_INT8_S2D (stride-2 convs via the exact space-to-depth
-reformulation, models/quant.py _s2d_conv_int8). Each variant recalibrates +
+reformulation, models/quant.py _s2d_conv_int8), (c) VD3D_INT8_MINCH=128
+(keep memory-bound 64-ch convs bf16). Each variant recalibrates +
 requantizes (selection is env-dependent) and reports profiler device time
 on distinct host-uploaded inputs.
 
-  python tools/bench_int8_knobs.py [batch] [variants...]
-    variants: base all s2d all+s2d   (default: all four)
+  python tools/bench_int8_knobs.py [batch] [variants...] [--model=stereo|mono]
+    variants: base all s2d all+s2d minch128 ...   (default: all)
 """
 import os
 import sys
@@ -33,9 +34,22 @@ VARIANTS = {
     # restored bf16 stem layout (r5 profile: the int8 (4,1) retile costs
     # ~6 ms of stem-region layout traffic) wins more than 64-ch int8 saves
     'minch128': {'VD3D_INT8_MINCH': '128'},
+    'minch128+all': {'VD3D_INT8_MINCH': '128', 'VD3D_INT8_ALL': '1'},
     'minch128+all+s2d': {'VD3D_INT8_MINCH': '128', 'VD3D_INT8_ALL': '1',
                          'VD3D_INT8_S2D': '1'},
 }
+
+
+def _build_mono(image_hw):
+    import tempfile
+    from visualdet3d_tpu.registry import DETECTOR_DICT
+    import visualdet3d_tpu.models  # noqa: F401
+    from visualdet3d_tpu.testing import gac_detector_cfg, write_synthetic_priors
+
+    pre = os.path.join(tempfile.gettempdir(), 'vd3d_graft_priors_mono')
+    write_synthetic_priors(pre, ['Car', 'Pedestrian'])
+    cfg = gac_detector_cfg(pre, obj_types=('Car', 'Pedestrian'))
+    return DETECTOR_DICT[cfg.name](cfg)
 
 
 def main():
@@ -45,11 +59,15 @@ def main():
     from visualdet3d_tpu.models import quant
 
     args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    model = 'stereo'
+    for a in sys.argv[1:]:
+        if a.startswith('--model='):
+            model = a.split('=', 1)[1]
     batch = int(args[0]) if args else 16
     names = args[1:] or list(VARIANTS)
 
     image_hw = (288, 1280)
-    system = _build_system(image_hw)
+    system = _build_system(image_hw) if model == 'stereo' else _build_mono(image_hw)
     system.cfg.inference_dtype = 'int8'
     variables = system.init(jax.random.PRNGKey(0), image_hw, batch_size=1)
     system.anchor_pack(image_hw)
@@ -57,19 +75,19 @@ def main():
 
     crng = np.random.default_rng(0)
     P2c = jnp.asarray(np.tile(KITTI_P2, (2, 1, 1)))
-    calib = [(jnp.asarray(crng.standard_normal(
-                  (2, *image_hw, 3)).astype(np.float32)),
-              jnp.asarray(crng.standard_normal(
-                  (2, *image_hw, 3)).astype(np.float32)),
-              P2c) for _ in range(2)]
+
+    def imgs(r, n):
+        return jnp.asarray(r.standard_normal((n, *image_hw, 3)).astype(np.float32))
+
+    if model == 'stereo':
+        calib = [(imgs(crng, 2), imgs(crng, 2), P2c) for _ in range(2)]
+    else:
+        calib = [(imgs(crng, 2), P2c) for _ in range(2)]
 
     rng = np.random.default_rng(0)
     P2 = jnp.asarray(np.tile(KITTI_P2, (batch, 1, 1)))
-    sets = [(jnp.asarray(rng.standard_normal(
-                 (batch, *image_hw, 3)).astype(np.float32)),
-             jnp.asarray(rng.standard_normal(
-                 (batch, *image_hw, 3)).astype(np.float32)))
-            for _ in range(4)]
+    n_img = 2 if model == 'stereo' else 1
+    sets = [tuple(imgs(rng, batch) for _ in range(n_img)) for _ in range(4)]
 
     for name in names:
         env = VARIANTS[name]
@@ -81,13 +99,13 @@ def main():
         n_q = len(quant.flatten_quant(qvars[quant.QUANT_COLLECTION]))
 
         @jax.jit
-        def forward(v, l, r, p):
-            out = system.predict(v, l, r, p, max_detections=32)
+        def forward(v, *a):
+            out = system.predict(v, *a, max_detections=32)
             return out['scores'], out['bboxes'], out['labels'], out['valid']
 
-        jax.block_until_ready(forward(qvars, sets[0][0], sets[0][1], P2))
-        ms = device_ms(forward, [(qvars, l, r, P2) for l, r in sets], iters=8)
-        print(f'{name:8s}: {ms:7.2f} ms/batch-{batch}  '
+        jax.block_until_ready(forward(qvars, *sets[0], P2))
+        ms = device_ms(forward, [(qvars, *s, P2) for s in sets], iters=8)
+        print(f'{model}/{name:8s}: {ms:7.2f} ms/batch-{batch}  '
               f'{batch / ms * 1000:6.1f} fps  ({n_q} quantized convs)',
               flush=True)
 

@@ -82,18 +82,22 @@ def _min_channels() -> int:
     return int(os.environ.get('VD3D_INT8_MINCH', '64'))
 
 
-def default_select(mod: nn.Module, x, deny: frozenset) -> bool:
-    """Quantize 2-D, ungrouped, stride-1 convs with cin/cout >= 64.
+def default_select(mod: nn.Module, x, deny: frozenset,
+                   min_channels: Optional[int] = None,
+                   s2d: Optional[bool] = None) -> bool:
+    """Quantize 2-D, ungrouped, stride-1 convs with cin/cout >= min_channels.
 
     The channel/stride bounds come straight from tools/bench_int8_chain.py:
     below 64 channels the int8 conv emitter wins little, and stride-2 at 64
     channels is a measured 0.79x regression. ``deny`` excludes the final
     prediction convs (raw logits / regression outputs keep bf16 precision).
-    Stride-2 convs join via the s2d reformulation when VD3D_INT8_S2D=1
-    (``_s2d_enabled``), with no kernel dilation (the s2d identity assumes
-    dense taps).
+    Stride-2 convs join via the s2d reformulation when ``s2d`` (default
+    VD3D_INT8_S2D=1), with no kernel dilation (the s2d identity assumes
+    dense taps). ``min_channels``/``s2d`` default to the env knobs so
+    direct callers (tests, tools) keep the env-only behavior; the config
+    surface threads them through Int8InferenceMixin._int8_select_opts.
     """
-    minch = _min_channels()
+    minch = _min_channels() if min_channels is None else min_channels
     if not (isinstance(mod, nn.Conv)
             and len(mod.kernel_size) == 2
             and mod.feature_group_count == 1
@@ -104,17 +108,21 @@ def default_select(mod: nn.Module, x, deny: frozenset) -> bool:
     strides = _pair(mod.strides or 1)
     if strides == (1, 1):
         return True
-    return (strides == (2, 2) and _s2d_enabled()
+    s2d_on = _s2d_enabled() if s2d is None else s2d
+    return (strides == (2, 2) and s2d_on
             and _pair(mod.kernel_dilation or 1) == (1, 1))
 
 
 def record_act_absmax(apply_fn: Callable, variables, batches: Iterable[tuple],
-                      deny: frozenset = frozenset()) -> Dict[PathT, float]:
+                      deny: frozenset = frozenset(),
+                      select: Callable = None) -> Dict[PathT, float]:
     """Calibration: per-conv input absmax over ``batches``.
 
     apply_fn(variables, *batch) must apply the net in eval mode. Returns
-    {conv_path: float absmax} for every conv default_select picks.
+    {conv_path: float absmax} for every conv ``select`` (default
+    :func:`default_select`) picks.
     """
+    select = select or default_select
 
     def one(variables, *batch):
         rec: Dict[PathT, jnp.ndarray] = {}
@@ -122,7 +130,7 @@ def record_act_absmax(apply_fn: Callable, variables, batches: Iterable[tuple],
         def interceptor(next_fn, args, kwargs, context):
             mod = context.module
             if (context.method_name == '__call__'
-                    and default_select(mod, args[0], deny)):
+                    and select(mod, args[0], deny)):
                 rec[tuple(mod.path)] = jnp.max(
                     jnp.abs(args[0].astype(jnp.float32)))
             return next_fn(*args, **kwargs)
@@ -156,7 +164,8 @@ def _set(tree, path, value):
 
 def quantize_variables(variables, act_absmax: Dict[PathT, float],
                        trace_fn: Callable, *trace_args,
-                       deny: frozenset = frozenset()):
+                       deny: frozenset = frozenset(),
+                       select: Callable = None):
     """Return inference-only variables with selected convs quantized.
 
     ``variables`` must be the FOLDED f32 variables (fold_inference_variables
@@ -167,13 +176,14 @@ def quantize_variables(variables, act_absmax: Dict[PathT, float],
     """
     from flax.core import unfreeze
 
+    select = select or default_select
     selected = set()
 
     def interceptor(next_fn, args, kwargs, context):
         out = next_fn(*args, **kwargs)
         mod = context.module
         if (context.method_name == '__call__'
-                and default_select(mod, args[0], deny)
+                and select(mod, args[0], deny)
                 and tuple(mod.path) in act_absmax):
             selected.add(tuple(mod.path))
         return out
@@ -323,14 +333,33 @@ class Int8InferenceMixin:
     int8_deny: tuple = ()
 
     def _int8_deny_set(self) -> frozenset:
-        """Deny set; VD3D_INT8_ALL=1 lifts it (quantizes the final
-        prediction convs too — accepts extra raw-output quantization noise
-        for ~2 ms of batch-16 stereo conv time; the test_quant parity/AP
-        gates are the arbiter of whether that trade is safe)."""
+        """Deny set; cfg.int8_all=True or VD3D_INT8_ALL=1 lifts it
+        (quantizes the final prediction convs too — measured -1.0 ms of
+        batch-16 stereo device time, tools/bench_int8_knobs.py; the
+        test_quant parity/AP gates are the arbiter of whether that trade
+        is safe). Env overrides config either way."""
         import os
-        if os.environ.get('VD3D_INT8_ALL', '') == '1':
+        env = os.environ.get('VD3D_INT8_ALL')
+        on = (env == '1') if env is not None else bool(
+            self.cfg.get('int8_all', False))
+        if on:
             return frozenset()
         return frozenset(self.int8_deny)
+
+    def _int8_select(self) -> Callable:
+        """Selection predicate honoring the config keys
+        ``int8_min_channels`` / ``int8_s2d`` (env knobs VD3D_INT8_MINCH /
+        VD3D_INT8_S2D override — the bench tooling sweeps via env)."""
+        import os
+        import functools
+        env_minch = os.environ.get('VD3D_INT8_MINCH')
+        minch = int(env_minch) if env_minch is not None else int(
+            self.cfg.get('int8_min_channels', 64))
+        env_s2d = os.environ.get('VD3D_INT8_S2D')
+        s2d = (env_s2d == '1') if env_s2d is not None else bool(
+            self.cfg.get('int8_s2d', False))
+        return functools.partial(default_select,
+                                 min_channels=minch, s2d=s2d)
 
     def _eval_apply(self, variables, *inputs):
         return self.net.apply(variables, *inputs, train=False)
@@ -343,7 +372,8 @@ class Int8InferenceMixin:
     def calibrate_int8(self, variables, batches):
         """Per-conv activation absmax over calibration batches (f32 vars)."""
         return record_act_absmax(self._eval_apply, variables, batches,
-                                 deny=self._int8_deny_set())
+                                 deny=self._int8_deny_set(),
+                                 select=self._int8_select())
 
     def int8_calib_inputs(self, batch: dict) -> tuple:
         """Collated dataset batch dict -> the ``_eval_apply`` input tuple
@@ -358,7 +388,7 @@ class Int8InferenceMixin:
         return quantize_variables(
             variables, act_absmax, self._eval_apply,
             *self._int8_trace_args(image_hw, batch_size),
-            deny=self._int8_deny_set())
+            deny=self._int8_deny_set(), select=self._int8_select())
 
     def _inference_cast(self, variables, images_list):
         """Apply cfg.inference_dtype: returns (variables, cast image list,
