@@ -153,3 +153,61 @@ def test_stereo_data_parallel_step(system):
 
     new_state, metrics = compiled(state, sharded, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics['total'])) and float(metrics['total']) > 0
+
+
+def test_stereo_train_step_mixed_precision(system):
+    """bf16-compute/f32-master mode (train_state._mixed_precision_interceptor):
+    master params/batch_stats/grads stay f32 and the SGD update direction
+    agrees with the pure-f32 step (the reference trains pure f32,
+    trainers.py:84-128, so the mode must be a numerics-preserving option)."""
+    import optax
+
+    rng = jax.random.PRNGKey(0)
+    tx = optax.sgd(1e-3)  # delta == -lr * grad: deltas compare gradients
+    state = create_train_state(system, rng, IMAGE_HW, tx, batch_size=2)
+
+    nprng = np.random.default_rng(2)
+    disparity = np.abs(nprng.standard_normal(
+        (2, IMAGE_HW[0] // 4, IMAGE_HW[1] // 4))).astype(np.float32) * 10
+    batch = dict(
+        left_images=jnp.asarray(nprng.standard_normal((2, *IMAGE_HW, 3)).astype(np.float32)),
+        right_images=jnp.asarray(nprng.standard_normal((2, *IMAGE_HW, 3)).astype(np.float32)),
+        P2=jnp.asarray(sample_P(2)),
+        P3=jnp.asarray(sample_P(2, tx=-120.0)),
+        annotations=jnp.asarray(random_annotations(nprng, 2, num_classes=2,
+                                                   image_hw=IMAGE_HW)),
+        disparity=jnp.asarray(disparity),
+    )
+    key = jax.random.PRNGKey(1)
+    step_f32 = make_stereo_train_step(system, tx, donate=False)
+    step_mp = make_stereo_train_step(system, tx, donate=False,
+                                     compute_dtype='bfloat16')
+    new_f, met_f = step_f32(state, batch, key)
+    new_m, met_m = step_mp(state, batch, key)
+
+    # master state stays f32
+    for leaf in jax.tree.leaves((new_m.params, new_m.batch_stats)):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    tf, tm = float(met_f['total']), float(met_m['total'])
+    assert np.isfinite(tm) and tm > 0
+    # the loss itself is computed f32 from upcast preds, so it parities
+    # tightly (measured 2.5e-6 rel on this fixture)
+    assert abs(tm - tf) / abs(tf) < 1e-3, (tf, tm)
+
+    # gradient-direction parity: cosine of the SGD param deltas. At random
+    # init the per-leaf cosines are noisy (bf16 forward perturbs
+    # near-cancelling contributions; pre-BN conv biases have TRUE grad ~0
+    # that only bf16 rounding makes nonzero), so gate the overall direction
+    # loosely and the per-leaf grad *magnitudes* for non-degenerate leaves
+    # (measured: overall cosine 0.977 on this fixture).
+    df = [np.asarray(a - b, np.float64).ravel() for a, b in zip(
+        jax.tree.leaves(new_f.params), jax.tree.leaves(state.params))]
+    dm = [np.asarray(a - b, np.float64).ravel() for a, b in zip(
+        jax.tree.leaves(new_m.params), jax.tree.leaves(state.params))]
+    cf, cm = np.concatenate(df), np.concatenate(dm)
+    cos = float(cf @ cm / (np.linalg.norm(cf) * np.linalg.norm(cm)))
+    assert cos > 0.9, cos
+    for a, b in zip(df, dm):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 1e-4 * 1e-3:  # f32 grad norm > 1e-4 (deltas carry lr=1e-3)
+            assert 0.5 < nb / na < 2.0, (na, nb)

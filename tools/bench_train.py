@@ -4,7 +4,9 @@ Full step: doubled-batch backbone, Pallas cost volumes, detection + depth
 losses, gradients, global-norm clip, adam update. Device time from the
 profiler (tools/tpu_time.py).
 
-Run: python tools/bench_train.py [batch]
+Run: python tools/bench_train.py [batch] [remat|bf16|remat+bf16]
+  bf16 = mixed precision (bf16 compute / f32 master params+grads,
+  train_state._mixed_precision_interceptor)
 """
 import json
 import os
@@ -28,7 +30,9 @@ def main():
     from visualdet3d_tpu.solver import build_optimizer
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    remat = len(sys.argv) > 2 and sys.argv[2] == 'remat'
+    mode = sys.argv[2] if len(sys.argv) > 2 else ''
+    remat = 'remat' in mode
+    compute_dtype = 'bfloat16' if 'bf16' in mode else None
     image_hw = (288, 1280)
     system = _build_system(image_hw)
     if remat:
@@ -40,7 +44,8 @@ def main():
               clipped_gradient_norm=35.0))
     state = create_train_state(system, jax.random.PRNGKey(0), image_hw, tx,
                                batch_size=1)
-    step = make_stereo_train_step(system, tx, donate=False)
+    step = make_stereo_train_step(system, tx, donate=False,
+                                  compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     ann = np.full((batch, 32, 12), -1.0, np.float32)
@@ -73,8 +78,8 @@ def main():
     print(json.dumps({
         'stereo_train_step_ms': round(ms, 2),
         'stereo_train_images_per_s': round(batch / ms * 1000, 1),
-        'batch': batch, 'image_hw': list(image_hw), 'dtype': 'float32',
-        'remat': remat,
+        'batch': batch, 'image_hw': list(image_hw),
+        'dtype': compute_dtype or 'float32', 'remat': remat,
     }))
 
 

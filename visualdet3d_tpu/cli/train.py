@@ -118,7 +118,10 @@ def main():
             print(f'resumed from step {int(np.asarray(state.step))} '
                   f'(epoch {start_epoch})')
 
-    train_step = PIPELINE_DICT[cfg.trainer.training_func](system, tx)
+    # optional bf16-compute/f32-master mixed precision (train_state.py);
+    # the reference trains pure f32, so the default is None
+    train_step = PIPELINE_DICT[cfg.trainer.training_func](
+        system, tx, compute_dtype=cfg.trainer.get('compute_dtype'))
     evaluate_detection = PIPELINE_DICT.get(cfg.trainer.get('evaluate_func'))
 
     timer = Timer()

@@ -123,6 +123,9 @@ class KM3D(Int8InferenceMixin):
         output, new_state = self.net.apply(
             variables, images, train=train, rngs=rngs,
             mutable=['batch_stats'] if train else [])
+        # loss math is always f32 (mixed-precision mode emits bf16 heads —
+        # pipelines/train_state.py _mixed_precision_interceptor)
+        output = jax.tree.map(lambda x: x.astype(jnp.float32), output)
         output_w = images.shape[2] // 4
         loss, loss_dict = km3d_lib.km3d_loss(
             output, gts, P2, jnp.asarray(epoch, jnp.float32), output_w,
@@ -172,6 +175,7 @@ class MonoFlex(KM3D):
         output, new_state = self.net.apply(
             variables, images, train=train, rngs=rngs,
             mutable=['batch_stats'] if train else [])
+        output = jax.tree.map(lambda x: x.astype(jnp.float32), output)
         loss, loss_dict = monoflex_lib.monoflex_loss(
             output, gts, P2, epoch,
             uncertainty_range=tuple(self.loss_cfg.get('uncertainty_range',

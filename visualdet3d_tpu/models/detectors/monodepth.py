@@ -147,6 +147,9 @@ class MonoDepth:
         feat, new_state = self.net.apply(
             variables, images, P2, train=train, rngs=rngs,
             mutable=['batch_stats'] if train else [])
+        # loss math is always f32 (mixed-precision mode emits bf16 heads —
+        # pipelines/train_state.py _mixed_precision_interceptor)
+        feat = jax.tree.map(lambda x: x.astype(jnp.float32), feat)
         loss = 0.0
         for key, out in feat.items():
             depth_prediction = jnp.exp(self.prior_mean + out[..., 0])  # [B,h,w]

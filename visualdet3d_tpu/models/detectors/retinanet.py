@@ -178,6 +178,10 @@ class RetinaNet:
         (cls_scores, reg_preds), new_state = self.net.apply(
             variables, images, train=train, rngs=rngs,
             mutable=['batch_stats'] if train else [])
+        # loss math is always f32 (mixed-precision mode emits bf16 heads —
+        # pipelines/train_state.py _mixed_precision_interceptor)
+        cls_scores = cls_scores.astype(jnp.float32)
+        reg_preds = reg_preds.astype(jnp.float32)
 
         balance = jnp.asarray(self.loss_cfg.get('balance_weights',
                                                 [1.0] * self.num_classes))

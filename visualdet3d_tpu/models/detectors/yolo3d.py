@@ -153,6 +153,10 @@ class Yolo3DSystem(Int8InferenceMixin):
         (cls_preds, reg_preds), new_state = self.net.apply(
             variables, images, P2, train=train,
             rngs=rngs, mutable=['batch_stats'] if train else [])
+        # loss math is always f32 (the mixed-precision train mode emits bf16
+        # predictions — pipelines/train_state.py _mixed_precision_interceptor)
+        cls_preds = cls_preds.astype(jnp.float32)
+        reg_preds = reg_preds.astype(jnp.float32)
         useful = self.anchors.useful_mask(pack, P2) if \
             self.loss_cfg.get('filter_anchor', True) else \
             jnp.ones((P2.shape[0], pack['anchors'].shape[0]), bool)

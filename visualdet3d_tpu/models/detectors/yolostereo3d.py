@@ -259,6 +259,11 @@ class Stereo3D(Yolo3DSystem):
         (cls_preds, reg_preds, depth_output), new_state = self.net.apply(
             variables, left_images, right_images, P2, train=train,
             rngs=rngs, mutable=['batch_stats'] if train else [])
+        # loss math is always f32 (the mixed-precision train mode emits bf16
+        # predictions — pipelines/train_state.py _mixed_precision_interceptor)
+        cls_preds, reg_preds, depth_output = jax.tree.map(
+            lambda x: x.astype(jnp.float32),
+            (cls_preds, reg_preds, depth_output))
         useful = self.anchors.useful_mask(pack, P2) if \
             self.loss_cfg.get('filter_anchor', True) else \
             jnp.ones((P2.shape[0], pack['anchors'].shape[0]), bool)
