@@ -435,39 +435,41 @@ def main():
         # training-step device time, f32, batch 8 (the memory-safe single
         # chip training config; batch 16 f32 stereo activations exceed HBM
         # without remat — CLAUDE.md). VERDICT r3 #6.
-        train_batch = 8
-        st_ms = bench_train_stereo(train_batch)
+        def try_train(tag, fn, b, **kw):
+            # a failed train measurement (e.g. an HBM-exceeding config)
+            # must not kill the whole bench record
+            try:
+                ms = fn(b, **kw)
+            except Exception as e:  # noqa: BLE001
+                detail[f'{tag}_error'] = str(e)[:200]
+                return
+            detail.update({f'{tag}_ms': round(ms, 2), f'{tag}_batch': b,
+                           f'{tag}_img_per_s': round(b / ms * 1000, 1)})
+
+        try_train('stereo_train', bench_train_stereo, 8)
         # mixed precision (bf16 compute / f32 master) lets batch 16 fit HBM
         # and is the fastest measured training config (r5: 59.5 img/s vs
-        # 50.5 f32 batch 8)
-        mp_batch = 16
-        st_mp_ms = bench_train_stereo(mp_batch, compute_dtype='bfloat16')
-        gac_ms = bench_train_gac(train_batch)
-        km3d_train_batch = 4
-        km3d_ms = bench_train_km3d(km3d_train_batch)
-        detail.update(stereo_train_ms=round(st_ms, 2),
-                      stereo_train_batch=train_batch,
-                      stereo_train_img_per_s=round(train_batch / st_ms * 1000, 1),
-                      stereo_train_bf16_ms=round(st_mp_ms, 2),
-                      stereo_train_bf16_batch=mp_batch,
-                      stereo_train_bf16_img_per_s=round(
-                          mp_batch / st_mp_ms * 1000, 1),
-                      gac_train_ms=round(gac_ms, 2),
-                      gac_train_img_per_s=round(train_batch / gac_ms * 1000, 1),
-                      km3d_train_ms=round(km3d_ms, 2),
-                      km3d_train_batch=km3d_train_batch,
-                      km3d_train_img_per_s=round(
-                          km3d_train_batch / km3d_ms * 1000, 1))
+        # 46.4 f32 batch 8)
+        try_train('stereo_train_bf16', bench_train_stereo, 16,
+                  compute_dtype='bfloat16')
+        try_train('gac_train', bench_train_gac, 8)
+        # KM3D f32 batch 4 exceeds HBM at compile (the train-path DCN
+        # pair-gather temps); batch 2 is the single-chip f32 config
+        try_train('km3d_train', bench_train_km3d, 2)
 
     # metric name + baseline divisor follow the selected model (the 500 fps
     # north-star is the stereo target; mono/KM3D report against their own
     # recorded bests so a selector run never mislabels the stereo metric)
+    if which == 'train':
+        fps = detail.get('stereo_train_bf16_img_per_s',
+                         detail.get('stereo_train_img_per_s', 0.0))
     metric = {'all': 'stereo3d_forward_fps_per_chip',
               'stereo': 'stereo3d_forward_fps_per_chip',
               'mono': 'mono_gac_forward_fps_per_chip',
-              'km3d': 'km3d_forward_fps_per_chip'}[which]
+              'km3d': 'km3d_forward_fps_per_chip',
+              'train': 'stereo3d_train_img_per_s_per_chip'}[which]
     baseline = {'all': 500.0, 'stereo': 500.0, 'mono': 500.0,
-                'km3d': 40.0}[which]
+                'km3d': 40.0, 'train': 46.4}[which]
     print(json.dumps({
         'metric': metric,
         'value': round(fps, 2),

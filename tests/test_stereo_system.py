@@ -211,3 +211,39 @@ def test_stereo_train_step_mixed_precision(system):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
         if na > 1e-4 * 1e-3:  # f32 grad norm > 1e-4 (deltas carry lr=1e-3)
             assert 0.5 < nb / na < 2.0, (na, nb)
+
+
+def test_stereo_data_parallel_step_mixed_precision(system):
+    """MP + DP compose: the bf16-compute interceptor step compiles and runs
+    over the 8-device data mesh without resharding collectives (same HLO
+    property as the f32 DP test) and keeps f32 master state."""
+    from visualdet3d_tpu.parallel import mesh as mesh_lib
+    m = mesh_lib.make_mesh(jax.devices()[:8])
+
+    tx = build_optimizer(
+        edict(type_name='adam', keywords=edict(lr=1e-4), clipped_gradient_norm=0.1))
+    state = create_train_state(system, jax.random.PRNGKey(0), IMAGE_HW,
+                               tx, batch_size=8)
+    state = mesh_lib.replicate(m, state)
+
+    nprng = np.random.default_rng(9)
+    batch = dict(
+        left_images=nprng.standard_normal((8, *IMAGE_HW, 3)).astype(np.float32),
+        right_images=nprng.standard_normal((8, *IMAGE_HW, 3)).astype(np.float32),
+        P2=sample_P(8),
+        P3=sample_P(8, tx=-120.0),
+        annotations=random_annotations(nprng, 8, num_classes=2, image_hw=IMAGE_HW),
+        disparity=np.abs(nprng.standard_normal(
+            (8, IMAGE_HW[0] // 4, IMAGE_HW[1] // 4))).astype(np.float32) * 5,
+    )
+    sharded = mesh_lib.shard_batch(m, batch)
+    step = make_stereo_train_step(system, tx, donate=False,
+                                  compute_dtype='bfloat16')
+    compiled = step.lower(state, sharded, jax.random.PRNGKey(3)).compile()
+    hlo = compiled.as_text()
+    assert 'all-to-all' not in hlo
+    assert 'all-reduce' in hlo
+    new_state, metrics = compiled(state, sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics['total'])) and float(metrics['total']) > 0
+    for leaf in jax.tree.leaves((new_state.params, new_state.batch_stats)):
+        assert leaf.dtype == jnp.float32
