@@ -196,6 +196,48 @@ def test_int8_raw_prediction_error_bounded(tiny_stereo_quantized):
         assert err < 0.05 * scale, (name, err, scale)
 
 
+def test_int8_block_chain_matches_unfused(tiny_stereo_quantized):
+    """VD3D_INT8_BLOCK fused BasicBlock chains == the per-conv interceptor
+    path. At f32 compute dtype the two graphs differ only by float
+    reassociation (the fused epilogue multiplies w_scale*act_scale*bn_scale
+    in one step), so parity is tight."""
+    system, hw, variables, qvars, batches, _ = tiny_stereo_quantized
+    l, r, P2 = batches[0]
+    qflat = quant.flatten_quant(qvars[quant.QUANT_COLLECTION])
+    blocks = quant.collect_block_entries(qvars[quant.QUANT_COLLECTION], qflat)
+    # resnet18: layer1_0/1 plus every later stride-1 identity block whose
+    # convs are quantized
+    assert len(blocks) >= 2, list(blocks)
+    for bp, be in blocks.items():
+        assert be['e1']['kernel_q'].shape[:2] == (3, 3)
+        assert be['bn1_shift'].ndim == 1
+
+    with nn.intercept_methods(quant.int8_interceptor(qflat, jnp.float32)):
+        cls_u, reg_u, _ = system.net.apply(qvars, l, r, P2, train=False)
+    with nn.intercept_methods(
+            quant.int8_interceptor(qflat, jnp.float32, blocks=blocks)):
+        cls_f, reg_f, _ = system.net.apply(qvars, l, r, P2, train=False)
+    for name, a, b in [('cls', cls_u, cls_f), ('reg', reg_u, reg_f)]:
+        scale = float(jnp.abs(a).max())
+        err = float(jnp.abs(a - b).max())
+        assert err < 1e-3 * scale, (name, err, scale)
+
+    # the bench/pipeline path jits predict with VARIABLES AS AN ARGUMENT,
+    # so collect_block_entries must never touch concrete values at trace
+    # time (r5 TPU crash: TracerArrayConversionError on batch_stats)
+    system.cfg.inference_dtype = 'int8'
+    os.environ['VD3D_INT8_BLOCK'] = '1'
+    try:
+        fwd = jax.jit(
+            lambda v, a0, a1, a2: system.predict(v, a0, a1, a2,
+                                                 max_detections=8))
+        out = jax.block_until_ready(fwd(qvars, l, r, P2))
+        assert np.isfinite(np.asarray(out['scores'])).all()
+    finally:
+        os.environ.pop('VD3D_INT8_BLOCK', None)
+        system.cfg.inference_dtype = 'float32'
+
+
 def test_int8_ap_harness_within_tolerance(full_cfg):  # noqa: F811
     """VERDICT r4 gate 2: the synthetic end-to-end AP harness under int8
     scores within 0.2 AP of the f32 run (full evaluate pipeline: testers ->

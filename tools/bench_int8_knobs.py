@@ -37,6 +37,12 @@ VARIANTS = {
     'minch128+all': {'VD3D_INT8_MINCH': '128', 'VD3D_INT8_ALL': '1'},
     'minch128+all+s2d': {'VD3D_INT8_MINCH': '128', 'VD3D_INT8_ALL': '1',
                          'VD3D_INT8_S2D': '1'},
+    # fused BasicBlock chains (quant.py collect_block_entries): whole
+    # stride-1 identity blocks as one quantize->conv->requant->conv->
+    # residual chain — targets the r5 profile's ~9 ms of layer1 s32/f32
+    # HBM round-trips (docs/int8_roofline.md)
+    'block': {'VD3D_INT8_BLOCK': '1'},
+    'all+block': {'VD3D_INT8_ALL': '1', 'VD3D_INT8_BLOCK': '1'},
 }
 
 
@@ -91,7 +97,8 @@ def main():
 
     for name in names:
         env = VARIANTS[name]
-        for k in ('VD3D_INT8_ALL', 'VD3D_INT8_S2D', 'VD3D_INT8_MINCH'):
+        for k in ('VD3D_INT8_ALL', 'VD3D_INT8_S2D', 'VD3D_INT8_MINCH',
+                  'VD3D_INT8_BLOCK'):
             os.environ.pop(k, None)
         os.environ.update(env)
         absmax = system.calibrate_int8(folded, calib)

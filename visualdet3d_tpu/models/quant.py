@@ -217,6 +217,7 @@ def quantize_variables(variables, act_absmax: Dict[PathT, float],
     out = dict(variables)
     out['params'] = params
     out[QUANT_COLLECTION] = quant
+    _store_block_fusions(out, quant)
     return out
 
 
@@ -305,15 +306,148 @@ def _int8_conv(mod: nn.Conv, x, entry, compute_dtype):
     return y.astype(compute_dtype)
 
 
-def int8_interceptor(qflat: Dict[PathT, dict], compute_dtype=jnp.bfloat16):
-    """Flax method interceptor running quantized convs from ``qflat``."""
+BLOCK_FUSE_KEY = 'block_fuse'
+
+
+def _store_block_fusions(variables, quant: dict) -> None:
+    """Detect fusable identity-shortcut BasicBlocks and store their fused
+    BN affines in the quant collection (under ``<block path>/block_fuse``).
+
+    Motivation (r5 stereo int8 profile, docs/int8_roofline.md): the 64-ch
+    layer1 region spends ~9.2 of 45.7 ms on HBM round-trips XLA inserts
+    *around* the int8 convs — raw s32 conv outputs materialized before
+    their requant, plus f32 tensors from the BatchNorm modules' dtype
+    promotion on the residual path. Computing the whole block
+    (quantize -> s8 conv -> scale+shift -> relu -> quantize -> s8 conv ->
+    scale+shift -> +identity -> relu) as one flat elementwise-between-convs
+    chain gives XLA single-consumer epilogues it can fuse.
+
+    Detection runs HERE, at quantize time, on concrete values: under jit
+    the predict path sees only tracers, so the data-dependent check (the
+    paired BatchNorms must be the pure per-channel affines fold_batchnorm
+    leaves behind: var' == 1 - eps, so BN(x) == x*scale - mean'*scale +
+    bias) cannot run at trace time. The stored entries ride the quant
+    collection (f32-exempt from the bf16 inference cast, saved/loaded with
+    the artifact); :func:`collect_block_entries` is then purely structural.
+    Whether the fused path is USED stays a runtime knob
+    (VD3D_INT8_BLOCK / cfg.int8_block). reference anchor: the block
+    structure, visualDet3D/networks/backbones/resnet.py:23-53.
+    """
+    stats = variables.get('batch_stats', {})
+    params = variables.get('params', {})
+    qflat = flatten_quant(quant)
+    for path in list(qflat):
+        if path[-1] != 'Conv_0':
+            continue
+        bp = path[:-1]
+        e1, e2 = qflat.get(bp + ('Conv_0',)), qflat.get(bp + ('Conv_1',))
+        if e1 is None or e2 is None:
+            continue
+        k1 = np.asarray(e1['kernel_q'])
+        k2 = np.asarray(e2['kernel_q'])
+        if not (k1.shape[:2] == (3, 3) and k2.shape[:2] == (3, 3)
+                and k1.shape[2] == k2.shape[3]):  # identity: cin == cout
+            continue
+        try:
+            par = _get(params, bp)
+            bn1p, bn2p = par['BatchNorm_0'], par['BatchNorm_1']
+            bn1s = _get(stats, bp + ('BatchNorm_0',))
+            bn2s = _get(stats, bp + ('BatchNorm_1',))
+        except (KeyError, TypeError):
+            continue
+        if 'Conv_2' in par:  # projection shortcut: not an identity block
+            continue
+        entry = {}
+        ok = True
+        for tag, bnp, bns in (('1', bn1p, bn1s), ('2', bn2p, bn2s)):
+            var = np.asarray(bns['var'], np.float32)
+            if not np.allclose(var + 1e-5, 1.0, atol=1e-6):
+                ok = False  # not a folded pure-affine BN
+                break
+            scale = np.asarray(bnp.get('scale', 1.0), np.float32)
+            mean = np.asarray(bns['mean'], np.float32)
+            bias = np.asarray(bnp.get('bias', 0.0), np.float32)
+            entry[f'bn{tag}_scale'] = jnp.asarray(scale)
+            entry[f'bn{tag}_shift'] = jnp.asarray(bias - mean * scale)
+        if ok:
+            _set(quant, bp + (BLOCK_FUSE_KEY,), entry)
+
+
+def collect_block_entries(quant, qflat: Dict[PathT, dict]) -> Dict[PathT, dict]:
+    """{BasicBlock path: fused-chain entry} from the quant collection's
+    stored ``block_fuse`` affines (see :func:`_store_block_fusions`).
+    Purely structural — safe on tracers inside a jitted predict."""
+    blocks: Dict[PathT, dict] = {}
+    for path in qflat:
+        if path[-1] != 'Conv_0':
+            continue
+        bp = path[:-1]
+        try:
+            fuse = _get(dict(quant), bp + (BLOCK_FUSE_KEY,))
+        except (KeyError, TypeError):
+            continue
+        e2 = qflat.get(bp + ('Conv_1',))
+        if e2 is None:
+            continue
+        blocks[bp] = {**fuse, 'e1': qflat[path], 'e2': e2}
+    return blocks
+
+
+def _quantize_act(x, act_scale):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / act_scale)),
+                    -127, 127).astype(jnp.int8)
+
+
+def _conv3x3_s8(xq, kq, padding):
+    return jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), padding, dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+
+
+def _int8_basic_block(x, be, compute_dtype):
+    """Fused identity-shortcut BasicBlock forward (f32 epilogues; the
+    unfused path's extra bf16 casts after each conv and the BN modules'
+    f32 promotion are dropped — slightly MORE accurate, parity-gated by
+    tests/test_quant.py::test_int8_block_chain_matches_unfused)."""
+    e1, e2 = be['e1'], be['e2']
+    xq = _quantize_act(x, e1['act_scale'])
+    acc1 = _conv3x3_s8(xq, e1['kernel_q'], [(1, 1), (1, 1)])
+    h = (acc1.astype(jnp.float32)
+         * (e1['w_scale'] * e1['act_scale'] * be['bn1_scale'])
+         + be['bn1_shift'])
+    h = nn.relu(h)
+    hq = _quantize_act(h, e2['act_scale'])
+    acc2 = _conv3x3_s8(hq, e2['kernel_q'], [(1, 1), (1, 1)])
+    y = (acc2.astype(jnp.float32)
+         * (e2['w_scale'] * e2['act_scale'] * be['bn2_scale'])
+         + be['bn2_shift'])
+    y = nn.relu(y + x.astype(jnp.float32))
+    return y.astype(compute_dtype)
+
+
+def _is_fusable_basic_block(mod) -> bool:
+    from .backbones.resnet import BasicBlock
+    return (isinstance(mod, BasicBlock) and mod.stride == 1
+            and mod.dilation == 1)
+
+
+def int8_interceptor(qflat: Dict[PathT, dict], compute_dtype=jnp.bfloat16,
+                     blocks: Optional[Dict[PathT, dict]] = None):
+    """Flax method interceptor running quantized convs from ``qflat``
+    (and, when ``blocks`` is given, whole fused BasicBlock chains)."""
+    blocks = blocks or {}
 
     def interceptor(next_fn, args, kwargs, context):
         mod = context.module
-        if (context.method_name == '__call__' and isinstance(mod, nn.Conv)):
-            entry = qflat.get(tuple(mod.path))
-            if entry is not None:
-                return _int8_conv(mod, args[0], entry, compute_dtype)
+        if context.method_name == '__call__':
+            if blocks and _is_fusable_basic_block(mod):
+                be = blocks.get(tuple(mod.path))
+                if be is not None and args[0].shape[-1] == mod.features:
+                    return _int8_basic_block(args[0], be, compute_dtype)
+            if isinstance(mod, nn.Conv):
+                entry = qflat.get(tuple(mod.path))
+                if entry is not None:
+                    return _int8_conv(mod, args[0], entry, compute_dtype)
         return next_fn(*args, **kwargs)
 
     return interceptor
@@ -402,7 +536,15 @@ class Int8InferenceMixin:
             assert QUANT_COLLECTION in variables, (
                 "inference_dtype='int8' needs quantize_int8 variables")
             qflat = flatten_quant(variables[QUANT_COLLECTION])
-            ctx = nn.intercept_methods(int8_interceptor(qflat))
+            # fused BasicBlock chains (VD3D_INT8_BLOCK / cfg.int8_block):
+            # affines pre-stored in the quant collection at quantize time
+            # (f32-exempt from the bf16 cast below), lookup tracer-safe
+            env = __import__('os').environ.get('VD3D_INT8_BLOCK')
+            block_on = (env == '1') if env is not None else bool(
+                self.cfg.get('int8_block', False))
+            blocks = collect_block_entries(
+                variables[QUANT_COLLECTION], qflat) if block_on else None
+            ctx = nn.intercept_methods(int8_interceptor(qflat, blocks=blocks))
             variables = {
                 k: (v if k == QUANT_COLLECTION
                     else _cast_floating(v, jnp.bfloat16))
