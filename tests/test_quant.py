@@ -215,7 +215,8 @@ def test_int8_block_chain_matches_unfused(tiny_stereo_quantized):
     with nn.intercept_methods(quant.int8_interceptor(qflat, jnp.float32)):
         cls_u, reg_u, _ = system.net.apply(qvars, l, r, P2, train=False)
     with nn.intercept_methods(
-            quant.int8_interceptor(qflat, jnp.float32, blocks=blocks)):
+            quant.int8_interceptor(qflat, jnp.float32, blocks=blocks,
+                                   block_impl='xla')):
         cls_f, reg_f, _ = system.net.apply(qvars, l, r, P2, train=False)
     for name, a, b in [('cls', cls_u, cls_f), ('reg', reg_u, reg_f)]:
         scale = float(jnp.abs(a).max())
@@ -236,6 +237,61 @@ def test_int8_block_chain_matches_unfused(tiny_stereo_quantized):
     finally:
         os.environ.pop('VD3D_INT8_BLOCK', None)
         system.cfg.inference_dtype = 'float32'
+
+
+def _ref_block_dequant_residual(x, be):
+    """jnp reference of the Pallas fused block: same math, including the
+    dequantized-int8 residual (ops/int8_block.py docstring)."""
+    # NB: multiply by the reciprocal, like the production paths
+    # (quant.py _int8_conv/_quantize_act and the Pallas kernel) — x/a and
+    # x*(1/a) differ by an ulp at round ties, which flips int8 levels
+    a1 = be['e1']['act_scale'].astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / a1)), -127, 127
+                  ).astype(jnp.int8)
+
+    def s8conv(q, kq):
+        return jax.lax.conv_general_dilated(
+            q, kq, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.int32)
+
+    h = (s8conv(xq, be['e1']['kernel_q']).astype(jnp.float32)
+         * (be['e1']['w_scale'] * a1 * be['bn1_scale']) + be['bn1_shift'])
+    h = jnp.maximum(h, 0.0)
+    a2 = be['e2']['act_scale'].astype(jnp.float32)
+    hq = jnp.clip(jnp.round(h * (1.0 / a2)), -127, 127).astype(jnp.int8)
+    y = (s8conv(hq, be['e2']['kernel_q']).astype(jnp.float32)
+         * (be['e2']['w_scale'] * a2 * be['bn2_scale']) + be['bn2_shift'])
+    return jnp.maximum(y + xq.astype(jnp.float32) * a1, 0.0)
+
+
+def test_int8_block_pallas_matches_reference(tiny_stereo_quantized):
+    """The Pallas in-VMEM fused block (ops/int8_block.py) == the jnp
+    reference with the dequantized residual, on real quantized entries
+    (interpret mode on CPU; the int math is exact, epilogues f32)."""
+    from visualdet3d_tpu.ops.int8_block import int8_basic_block_fused
+    system, hw, variables, qvars, batches, _ = tiny_stereo_quantized
+    qflat = quant.flatten_quant(qvars[quant.QUANT_COLLECTION])
+    blocks = quant.collect_block_entries(qvars[quant.QUANT_COLLECTION],
+                                         qflat)
+    small = [(bp, be) for bp, be in sorted(blocks.items())
+             if be['e1']['kernel_q'].shape[2] == 64][:2]
+    assert len(small) == 2, list(blocks)
+    rng = np.random.default_rng(3)
+    for bp, be in small:
+        c = be['e1']['kernel_q'].shape[2]
+        x = jnp.asarray(
+            rng.standard_normal((2, 12, 20, c)).astype(np.float32))
+        got = np.asarray(int8_basic_block_fused(x, be, jnp.float32))
+        ref = np.asarray(_ref_block_dequant_residual(x, be))
+        scale = float(np.abs(ref).max()) or 1.0
+        d = np.abs(got - ref)
+        # the two graphs can FMA-associate the f32 requant epilogue
+        # differently, flipping isolated int8 levels at exact round ties:
+        # allow <=0.1% of elements to differ, bounded by ~one quant step
+        frac = float((d > 1e-4 * scale).mean())
+        assert frac <= 1e-3, (bp, frac)
+        assert float(d.max()) <= 0.02 * scale, (bp, float(d.max()), scale)
 
 
 def test_int8_ap_harness_within_tolerance(full_cfg):  # noqa: F811

@@ -431,10 +431,22 @@ def _is_fusable_basic_block(mod) -> bool:
             and mod.dilation == 1)
 
 
+def _block_maxch() -> int:
+    """VD3D_INT8_BLOCK_MAXCH (default 64): widest channel count routed to
+    the Pallas fused-block kernel. XLA's requant-fusion failure is a
+    64-ch phenomenon (docs/int8_roofline.md); wider blocks already run
+    near peak through the XLA emitter."""
+    import os
+    return int(os.environ.get('VD3D_INT8_BLOCK_MAXCH', '64'))
+
+
 def int8_interceptor(qflat: Dict[PathT, dict], compute_dtype=jnp.bfloat16,
-                     blocks: Optional[Dict[PathT, dict]] = None):
+                     blocks: Optional[Dict[PathT, dict]] = None,
+                     block_impl: str = 'pallas'):
     """Flax method interceptor running quantized convs from ``qflat``
-    (and, when ``blocks`` is given, whole fused BasicBlock chains)."""
+    (and, when ``blocks`` is given, whole fused BasicBlock chains —
+    ``block_impl`` 'pallas' for the in-VMEM kernel (ops/int8_block.py),
+    'xla' for the flat jnp chain)."""
     blocks = blocks or {}
 
     def interceptor(next_fn, args, kwargs, context):
@@ -443,7 +455,14 @@ def int8_interceptor(qflat: Dict[PathT, dict], compute_dtype=jnp.bfloat16,
             if blocks and _is_fusable_basic_block(mod):
                 be = blocks.get(tuple(mod.path))
                 if be is not None and args[0].shape[-1] == mod.features:
-                    return _int8_basic_block(args[0], be, compute_dtype)
+                    if (block_impl == 'pallas'
+                            and mod.features <= _block_maxch()):
+                        from visualdet3d_tpu.ops.int8_block import (
+                            int8_basic_block_fused)
+                        return int8_basic_block_fused(args[0], be,
+                                                      compute_dtype)
+                    if block_impl == 'xla':
+                        return _int8_basic_block(args[0], be, compute_dtype)
             if isinstance(mod, nn.Conv):
                 entry = qflat.get(tuple(mod.path))
                 if entry is not None:
@@ -540,11 +559,18 @@ class Int8InferenceMixin:
             # affines pre-stored in the quant collection at quantize time
             # (f32-exempt from the bf16 cast below), lookup tracer-safe
             env = __import__('os').environ.get('VD3D_INT8_BLOCK')
-            block_on = (env == '1') if env is not None else bool(
-                self.cfg.get('int8_block', False))
+            raw = env if env is not None else self.cfg.get('int8_block',
+                                                           False)
+            if raw in (True, '1', 'pallas'):
+                block_impl = 'pallas'
+            elif raw == 'xla':
+                block_impl = 'xla'
+            else:
+                block_impl = ''
             blocks = collect_block_entries(
-                variables[QUANT_COLLECTION], qflat) if block_on else None
-            ctx = nn.intercept_methods(int8_interceptor(qflat, blocks=blocks))
+                variables[QUANT_COLLECTION], qflat) if block_impl else None
+            ctx = nn.intercept_methods(int8_interceptor(
+                qflat, blocks=blocks, block_impl=block_impl))
             variables = {
                 k: (v if k == QUANT_COLLECTION
                     else _cast_floating(v, jnp.bfloat16))
